@@ -1,0 +1,56 @@
+"""Document-type configuration (schema-on-read contract).
+
+Mirrors the reference's config surface: ``DocumentTypeConfig``
+(/root/reference/src/config.py:141-146) loaded from the JSON file
+``config/document_types.conf``
+(/root/reference/src/llm/field_extractor.py:14-29). The config instance
+is a plain picklable dataclass so the Spark layer can broadcast it into
+Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List
+
+# Repo-local copy of the reference's config/document_types.conf
+# (22 expected_fields, 37 field_mappings aliases, typed validation_rules).
+_DEFAULT_CONF_PATH = Path(__file__).resolve().parents[2] / "config" / "document_types.conf"
+
+
+@dataclass
+class DocumentTypeConfig:
+    name: str
+    expected_fields: List[str]
+    field_descriptions: Dict[str, str]
+    validation_rules: Dict[str, Any]
+    field_mappings: Dict[str, str] = field(default_factory=dict)
+
+
+def load_document_config(config_path: str | Path) -> Dict[str, DocumentTypeConfig]:
+    """Load document configuration from a JSON file.
+
+    Same contract as the reference loader
+    (/root/reference/src/llm/field_extractor.py:14-29): one
+    ``DocumentTypeConfig`` per top-level document type.
+    """
+    with open(config_path, "r", encoding="utf-8") as f:
+        config_data = json.load(f)
+
+    document_types: Dict[str, DocumentTypeConfig] = {}
+    for doc_type, doc_config in config_data.items():
+        document_types[doc_type] = DocumentTypeConfig(
+            name=doc_config["name"],
+            expected_fields=doc_config["expected_fields"],
+            field_descriptions=doc_config["field_descriptions"],
+            validation_rules=doc_config["validation_rules"],
+            field_mappings=doc_config.get("field_mappings", {}),
+        )
+    return document_types
+
+
+def default_config(document_type: str = "credit_request") -> DocumentTypeConfig:
+    """The repo-bundled credit_request config (the reference's only type)."""
+    return load_document_config(_DEFAULT_CONF_PATH)[document_type]

@@ -1,0 +1,270 @@
+"""Typed field extraction, cleaning and validation.
+
+Reimplements the deterministic half of the reference's
+``src/llm/field_extractor.py``:
+
+* ``clean_value``      — :42-76 (type-directed string cleaning)
+* ``validate_field``   — :235-297 (type / range / pattern rules;
+  ``re.match`` prefix semantics, German number normalization)
+* ``extract_fields``   — :307-441 (evidence matching precedence,
+  alias renaming, validation) with the LLM call replaced by the
+  deterministic alias mapper ``map_items_to_fields`` (the candidate
+  generator the reference itself uses in
+  tests/test_mock_ocr_results.py:40-53: n-stripping label
+  normalization + containment against field_mappings).
+
+The reference's *sync* ``extract_fields_with_llm`` (:78-117) is dead
+code (KeyError on a config key that is never produced — SURVEY.md §2.9)
+and is intentionally not reproduced.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional
+
+from credit_ocr_backend_spark.core.config import DocumentTypeConfig
+
+
+def normalize_label(label: str) -> str:
+    """The reference's quirky label normalizer — lowercase, drop ``?``
+    and **every letter "n"**, strip (tests/test_mock_ocr_results.py:12-14,
+    src/visualization/pdf_visualizer.py:139-144). The n-deletion causes
+    alias collisions; parity means reproducing them, not fixing them.
+    """
+    return label.lower().replace("?", "").replace("n", "").strip()
+
+
+def clean_value(value: str, field_type: str) -> Any:
+    """Type-directed value cleaning (field_extractor.py:42-76)."""
+    if not value:
+        return None
+
+    if field_type == "string":
+        return value.strip()
+
+    if field_type == "date":
+        # DD.MM.YYYY or nothing.
+        return value if re.match(r"^\d{2}\.\d{2}\.\d{4}$", value) else None
+
+    if field_type == "currency":
+        stripped = value.replace("€", "").replace(" ", "").replace(",", ".")
+        digits = "".join(c for c in stripped if c.isdigit() or c == ".")
+        return float(digits) if digits else None
+
+    if field_type == "area":
+        stripped = value.replace("m²", "").replace(" ", "")
+        return float(stripped) if stripped else None
+
+    if field_type == "number":
+        digits = "".join(c for c in value if c.isdigit())
+        return int(digits) if digits else None
+
+    if field_type == "boolean":
+        return "[x]" in value.lower()
+
+    return value
+
+
+def _as_german_float(value: Any) -> float:
+    """German number normalization used by validate_field
+    (field_extractor.py:254-257): '.' thousands separators dropped,
+    ',' becomes the decimal point. Raises on non-numeric input."""
+    if isinstance(value, str):
+        value = value.replace(".", "").replace(",", ".")
+    return float(value)
+
+
+def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
+    """Validate one extracted field against its rules.
+
+    Semantics per field_extractor.py:235-297 — including the asymmetries:
+    range checks apply only when type == "number" and silently pass on
+    unparseable values; pattern checks use ``re.match`` (anchored at
+    start only, NOT fullmatch)."""
+    result: Dict[str, Any] = {"is_valid": True, "errors": []}
+
+    if not isinstance(value, dict) or "value" not in value:
+        result["is_valid"] = False
+        result["errors"].append("Invalid field format")
+        return result
+
+    field_value = value["value"]
+
+    expected_type = rules.get("type")
+    if expected_type == "number":
+        try:
+            _as_german_float(field_value)
+        except (ValueError, TypeError):
+            result["is_valid"] = False
+            result["errors"].append("Value must be a number")
+    elif expected_type == "boolean":
+        if str(field_value).lower() not in ("true", "false"):
+            result["is_valid"] = False
+            result["errors"].append("Value must be a boolean")
+    # dates: no type-level check (reference skips them explicitly)
+
+    if "min" in rules and rules.get("type") == "number":
+        try:
+            if _as_german_float(field_value) < rules["min"]:
+                result["is_valid"] = False
+                result["errors"].append(f"Value must be at least {rules['min']}")
+        except (ValueError, TypeError):
+            pass
+
+    if "max" in rules and rules.get("type") == "number":
+        try:
+            if _as_german_float(field_value) > rules["max"]:
+                result["is_valid"] = False
+                result["errors"].append(f"Value must be at most {rules['max']}")
+        except (ValueError, TypeError):
+            pass
+
+    if "pattern" in rules:
+        if not re.match(rules["pattern"], str(field_value)):
+            result["is_valid"] = False
+            result["errors"].append("Value does not match required pattern")
+
+    return result
+
+
+def validate_extracted_fields(
+    fields: Dict[str, Any], doc_config: DocumentTypeConfig
+) -> Dict[str, Any]:
+    """Validate every field that has a rule (field_extractor.py:299-305)."""
+    return {
+        name: validate_field(data, doc_config.validation_rules[name])
+        for name, data in fields.items()
+        if name in doc_config.validation_rules
+    }
+
+
+def map_items_to_fields(
+    items: List[Dict[str, Any]], doc_config: DocumentTypeConfig
+) -> Dict[str, Any]:
+    """Deterministic stand-in for the reference's LLM mapping step.
+
+    Candidate generation exactly as the reference's own corpus-filter
+    test does it (tests/test_mock_ocr_results.py:40-53): for each
+    normalized ``label_value`` item, n-strip-normalize its label and scan
+    ``field_mappings`` in declaration order; the first alias whose
+    normalized form is *contained* in the item label wins (break), and
+    only aliases that map into ``expected_fields`` produce a candidate.
+    First value per field is kept (document reading order).
+
+    Returns the same envelope shape the LLM would
+    ({"extracted_fields": {name: value}, "missing_fields": [...]}).
+    """
+    found: Dict[str, Any] = {}
+    for item in items:
+        if item.get("type") != "label_value":
+            continue
+        item_label = normalize_label(item["label"])
+        for alias, eng_name in doc_config.field_mappings.items():
+            if normalize_label(alias) in item_label:
+                if eng_name in doc_config.expected_fields and eng_name not in found:
+                    found[eng_name] = item["value"]
+                break
+
+    missing = [f for f in doc_config.expected_fields if f not in found]
+    return {"extracted_fields": found, "missing_fields": missing}
+
+
+def extract_fields(
+    items: List[Dict[str, Any]],
+    doc_config: DocumentTypeConfig,
+    original_ocr_lines: Optional[List[Dict[str, Any]]] = None,
+) -> Dict[str, Any]:
+    """Full extraction result for one document.
+
+    Mirrors steps 2–5 of the reference's async ``extract_fields_with_llm``
+    (field_extractor.py:345-441) with ``map_items_to_fields`` supplying
+    the name→value mapping. Evidence precedence per field:
+
+    (a) first ``label_value`` item whose label contains any German alias
+        of the field OR whose value contains the candidate value
+        → take that pair's value/confidence/bbox/page;
+    (b) else first raw ``line`` token containing the value or an alias
+        → take the line's text/confidence/bbox/page;
+    (c) else keep the candidate value at confidence 0.5.
+
+    Empty input short-circuits to the all-missing envelope (:327-332).
+    """
+    if not items:
+        return {
+            "extracted_fields": {},
+            "missing_fields": list(doc_config.expected_fields),
+            "validation_results": {},
+        }
+
+    llm_result = map_items_to_fields(items, doc_config)
+
+    extracted: Dict[str, Any] = {}
+    for field_name, raw in llm_result["extracted_fields"].items():
+        field_data = raw if isinstance(raw, dict) else {"value": raw}
+        field_data.setdefault("value", None)
+
+        if field_data["value"] is None:
+            extracted[field_name] = {"value": None, "confidence": 0.5}
+            continue
+
+        value_str = str(field_data["value"]).lower()
+        aliases = [
+            alias.lower()
+            for alias, eng in doc_config.field_mappings.items()
+            if eng == field_name
+        ]
+
+        # (a) label_value evidence
+        pair = None
+        for item in items:
+            if item["type"] != "label_value":
+                continue
+            label_lc = item["label"].lower()
+            value_lc = item["value"].lower()
+            if any(a in label_lc for a in aliases) or value_str in value_lc:
+                pair = item
+                break
+
+        if pair is not None:
+            extracted[field_name] = {
+                "value": pair["value"],
+                "confidence": pair.get("confidence", 0.5),
+                "bounding_box": pair.get("bounding_box"),
+                "page": pair.get("page"),
+            }
+            continue
+
+        # (b) raw-line evidence
+        line = None
+        if original_ocr_lines:
+            for tok in original_ocr_lines:
+                if tok["type"] != "line":
+                    continue
+                text_lc = tok["text"].lower()
+                if value_str in text_lc or any(a in text_lc for a in aliases):
+                    line = tok
+                    break
+
+        if line is not None:
+            extracted[field_name] = {
+                "value": line["text"],
+                "confidence": line.get("confidence", 0.5),
+                "bounding_box": line.get("bounding_box"),
+                "page": line.get("page"),
+            }
+        else:
+            # (c) bare value
+            extracted[field_name] = {"value": field_data["value"], "confidence": 0.5}
+
+    # Alias→canonical rename (:423-430); our names are already canonical
+    # except the English aliases present in field_mappings.
+    mapped: Dict[str, Any] = {}
+    for field_name, field_data in extracted.items():
+        mapped[doc_config.field_mappings.get(field_name, field_name)] = field_data
+
+    return {
+        "extracted_fields": mapped,
+        "missing_fields": llm_result["missing_fields"],
+        "validation_results": validate_extracted_fields(mapped, doc_config),
+    }

@@ -1,0 +1,389 @@
+"""HTML / layout-word parsing into OCR-style token streams.
+
+This is the engine's replacement for the reference's external OCR call
+(/root/reference/src/ocr/azure_ocr_client.py:28-63): a deterministic,
+in-process *synthetic OCR* front-end that turns a Common-Crawl-style
+page payload into exactly the token-stream shape the reference's
+downstream stages consume (postprocess.py:53-69):
+
+    {"type": "line"|"word", "text", "page", "bounding_box": [{x,y}]*4|None,
+     "confidence": float|None}
+
+Two input forms:
+
+* raw HTML bytes — parsed with a streaming stdlib tokenizer
+  (html.parser), segmented into blocks, boilerplate-stripped with
+  link-density / chrome-ancestor heuristics (Readability/Boilerpipe
+  style), then laid out by a deterministic reading-order layout engine
+  that assigns synthetic bounding boxes in inches (labels left of the
+  reference's x_split=2.5, values to the right — the geometry contract
+  of tests/test_field_extraction.py:156-201);
+* a PDF-like layout-word payload (``<script
+  type="application/x-layout-words">`` JSON) — bounding-box word
+  grouping into reading-order lines (layout-aware block segmentation).
+
+Line confidence is computed from word confidences exactly as the
+reference does (postprocess.py:28-51): average of the confidences of
+words whose bbox centroid falls inside the line envelope, Python
+``round(·, 2)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from html.parser import HTMLParser
+from typing import Any, Dict, List, Optional, Tuple
+
+Token = Dict[str, Any]
+
+LAYOUT_WORDS_MIME = "application/x-layout-words"
+
+# Elements whose subtree is page chrome (never main content).
+_CHROME_TAGS = frozenset({"nav", "header", "footer", "aside"})
+# Elements whose text content is never rendered.
+_OPAQUE_TAGS = frozenset({"script", "style", "noscript", "template", "svg"})
+# Elements that open a fresh text block in reading order.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "tr",
+        "table", "ul", "ol", "dl", "section", "article", "main",
+        "blockquote", "pre", "form", "figure", "figcaption",
+    }
+)
+_CELL_TAGS = frozenset({"td", "th"})
+
+_WS_RE = re.compile(r"\s+")
+
+# Layout constants (inches). Chosen so the emitted geometry satisfies the
+# reference's pairing thresholds (x_split=2.5, y_thresh=0.2) the same way
+# the reference's own 46-line fixture does: labels at x=0.5, values at
+# x=0.5+2.5·cell, value row offset +0.01, one row per unit of y.
+CHAR_W = 0.05
+ROW_STEP = 1.0
+CELL_X_STEP = 2.5
+CELL_Y_STEP = 0.01
+LEFT_MARGIN = 0.5
+TOP_MARGIN = 1.0
+PAGE_ROWS = 40  # rows per synthetic page
+WRAP_CHARS = 80  # greedy word-wrap width for prose blocks
+MAX_LINK_DENSITY = 0.5
+
+
+def _collapse_ws(text: str) -> str:
+    return _WS_RE.sub(" ", text).strip()
+
+
+def _stable_unit(key: str) -> float:
+    """Deterministic pseudo-random in [0, 1) from md5 — no RNG state."""
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:8], 16) / 0x100000000
+
+
+def _word_confidence(word: str, line_idx: int, word_idx: int) -> float:
+    """Synthetic per-word OCR confidence in {0.90 … 0.99}, deterministic
+    in the word content and its position."""
+    return 0.90 + int(_stable_unit(f"{word}|{line_idx}|{word_idx}") * 10) / 100.0
+
+
+class _Block:
+    __slots__ = ("cells", "text_chars", "link_chars", "is_chrome", "is_row")
+
+    def __init__(self, is_chrome: bool, is_row: bool) -> None:
+        self.cells: List[List[str]] = [[]]
+        self.text_chars = 0
+        self.link_chars = 0
+        self.is_chrome = is_chrome
+        self.is_row = is_row
+
+    def add_text(self, text: str, in_link: bool) -> None:
+        self.cells[-1].append(text)
+        n = len(text)
+        self.text_chars += n
+        if in_link:
+            self.link_chars += n
+
+    def new_cell(self) -> None:
+        self.cells.append([])
+
+    def rendered_cells(self) -> List[str]:
+        return [c for c in (_collapse_ws("".join(parts)) for parts in self.cells) if c]
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.text_chars if self.text_chars else 0.0
+
+
+class _PageTokenizer(HTMLParser):
+    """Streaming DOM tokenizer: flat block segmentation + chrome/link
+    accounting + layout-word payload capture. One pass, O(bytes)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self.layout_words_json: List[str] = []
+        self._chrome_depth = 0
+        self._opaque_depth = 0
+        self._link_depth = 0
+        self._capture_layout = False
+        self._current: Optional[_Block] = None
+
+    def _open_block(self, is_row: bool) -> None:
+        self._current = _Block(self._chrome_depth > 0, is_row)
+        self.blocks.append(self._current)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _OPAQUE_TAGS:
+            self._opaque_depth += 1
+            if tag == "script" and dict(attrs).get("type") == LAYOUT_WORDS_MIME:
+                self._capture_layout = True
+            return
+        if tag in _CHROME_TAGS:
+            self._chrome_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._open_block(is_row=(tag == "tr"))
+        elif tag in _CELL_TAGS:
+            if self._current is None or not self._current.is_row:
+                self._open_block(is_row=True)
+            elif self._current.cells[-1]:
+                self._current.new_cell()
+        elif tag == "br" and self._current is not None:
+            self._current.add_text(" ", self._link_depth > 0)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _OPAQUE_TAGS:
+            self._opaque_depth = max(0, self._opaque_depth - 1)
+            self._capture_layout = False
+            return
+        if tag in _CHROME_TAGS:
+            self._chrome_depth = max(0, self._chrome_depth - 1)
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _BLOCK_TAGS or tag == "body":
+            self._current = None
+
+    def handle_data(self, data: str) -> None:
+        if self._opaque_depth:
+            if self._capture_layout:
+                self.layout_words_json.append(data)
+            return
+        if not data.strip():
+            return
+        if self._current is None:
+            self._open_block(is_row=False)
+        self._current.add_text(data, self._link_depth > 0)
+
+
+def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
+    """Greedy word wrap; a single over-long word still gets its own line."""
+    lines: List[str] = []
+    current = ""
+    for word in text.split(" "):
+        if not current:
+            current = word
+        elif len(current) + 1 + len(word) <= width:
+            current += " " + word
+        else:
+            lines.append(current)
+            current = word
+    if current:
+        lines.append(current)
+    return lines
+
+
+def _assemble_tokens(
+    lines: List[Tuple[str, int, List[Dict[str, float]]]],
+    words: List[Token],
+) -> List[Token]:
+    """Emit per page: all lines (with containment-averaged confidence),
+    then all words — the reference's per-page emission order and
+    confidence rule (postprocess.py:25-69): a line's confidence is
+    round(mean confidence of same-page words whose centroid falls inside
+    the line envelope, 2), None when no word matches."""
+    lines_by_page: Dict[int, List[Tuple[str, List[Dict[str, float]]]]] = {}
+    for text, page, box in lines:
+        lines_by_page.setdefault(page, []).append((text, box))
+
+    # (centroid_x, centroid_y, confidence) per word, grouped by page.
+    words_by_page: Dict[int, List[Token]] = {}
+    centroids_by_page: Dict[int, List[Tuple[float, float, Optional[float]]]] = {}
+    for w in words:
+        words_by_page.setdefault(w["page"], []).append(w)
+        wb = w["bounding_box"]
+        if wb:
+            centroids_by_page.setdefault(w["page"], []).append(
+                (
+                    sum(p["x"] for p in wb) / len(wb),
+                    sum(p["y"] for p in wb) / len(wb),
+                    w["confidence"],
+                )
+            )
+
+    tokens: List[Token] = []
+    for page in sorted(set(lines_by_page) | set(words_by_page)):
+        centroids = centroids_by_page.get(page, [])
+        for text, box in lines_by_page.get(page, []):
+            xs = [p["x"] for p in box]
+            ys = [p["y"] for p in box]
+            min_x, max_x, min_y, max_y = min(xs), max(xs), min(ys), max(ys)
+            confs = [
+                c
+                for (wcx, wcy, c) in centroids
+                if c is not None and min_x <= wcx <= max_x and min_y <= wcy <= max_y
+            ]
+            tokens.append(
+                {
+                    "type": "line",
+                    "text": text,
+                    "page": page,
+                    "bounding_box": box,
+                    "confidence": round(sum(confs) / len(confs), 2) if confs else None,
+                }
+            )
+        tokens.extend(words_by_page.get(page, []))
+    return tokens
+
+
+def _layout_html_blocks(blocks: List[_Block]) -> Tuple[List[Tuple[str, int, List[Dict[str, float]]]], List[Token]]:
+    """Deterministic reading-order layout engine: content blocks →
+    positioned lines + word tokens with synthetic geometry."""
+    lines: List[Tuple[str, int, List[Dict[str, float]]]] = []
+    words: List[Token] = []
+    page, row = 1, 0
+    line_idx = 0
+
+    def emit_line(text: str, cell: int) -> None:
+        nonlocal line_idx
+        y = TOP_MARGIN + row * ROW_STEP + cell * CELL_Y_STEP
+        x0 = LEFT_MARGIN + cell * CELL_X_STEP
+        x1 = x0 + CHAR_W * len(text)
+        box = [{"x": x0, "y": y}, {"x": x1, "y": y}, {"x": x1, "y": y}, {"x": x0, "y": y}]
+        lines.append((text, page, box))
+        x = x0
+        for wi, word in enumerate(text.split(" ")):
+            wx1 = x + CHAR_W * len(word)
+            words.append(
+                {
+                    "type": "word",
+                    "text": word,
+                    "page": page,
+                    "bounding_box": [
+                        {"x": x, "y": y}, {"x": wx1, "y": y},
+                        {"x": wx1, "y": y}, {"x": x, "y": y},
+                    ],
+                    "confidence": round(_word_confidence(word, line_idx, wi), 2),
+                }
+            )
+            x = wx1 + CHAR_W
+        line_idx += 1
+
+    def next_row(n_rows: int = 1) -> None:
+        nonlocal page, row
+        if row + n_rows > PAGE_ROWS:
+            page += 1
+            row = 0
+
+    for block in blocks:
+        if block.is_chrome or block.link_density > MAX_LINK_DENSITY:
+            continue
+        cells = block.rendered_cells()
+        if not cells:
+            continue
+        if block.is_row and len(cells) >= 2:
+            next_row()  # keep a label/value row on one page
+            for c, cell_text in enumerate(cells):
+                emit_line(cell_text, c)
+            row += 1
+        else:
+            for cell_text in cells:
+                for wrapped in _wrap(cell_text):
+                    next_row()
+                    emit_line(wrapped, 0)
+                    row += 1
+    return lines, words
+
+
+def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005) -> List[Token]:
+    """PDF-path layout analysis: bbox word grouping into reading-order
+    lines (the engine's stand-in for the reference OCR's line detection).
+
+    ``payload`` items: {"t": text, "p": page, "x": x0, "y": y0,
+    "w": width, "h": height, "c": confidence}. Words are sorted by
+    (page, y, x) and greedily grouped into a line while their top-y stays
+    within ``y_tol`` of the line anchor; line bbox is the envelope of its
+    word boxes.
+    """
+    ordered = sorted(payload, key=lambda w: (w["p"], w["y"], w["x"]))
+
+    words: List[Token] = []
+    for w in ordered:
+        x0, y0, x1, y1 = w["x"], w["y"], w["x"] + w["w"], w["y"] + w["h"]
+        words.append(
+            {
+                "type": "word",
+                "text": w["t"],
+                "page": w["p"],
+                "bounding_box": [
+                    {"x": x0, "y": y0}, {"x": x1, "y": y0},
+                    {"x": x1, "y": y1}, {"x": x0, "y": y1},
+                ],
+                "confidence": round(w["c"], 2) if w.get("c") is not None else None,
+            }
+        )
+
+    lines: List[Tuple[str, int, List[Dict[str, float]]]] = []
+    group: List[Dict[str, Any]] = []
+
+    def flush() -> None:
+        if not group:
+            return
+        text = " ".join(g["t"] for g in group)
+        min_x = min(g["x"] for g in group)
+        max_x = max(g["x"] + g["w"] for g in group)
+        min_y = min(g["y"] for g in group)
+        max_y = max(g["y"] + g["h"] for g in group)
+        box = [
+            {"x": min_x, "y": min_y}, {"x": max_x, "y": min_y},
+            {"x": max_x, "y": max_y}, {"x": min_x, "y": max_y},
+        ]
+        lines.append((text, group[0]["p"], box))
+
+    for w in ordered:
+        if group and (w["p"] != group[0]["p"] or abs(w["y"] - group[0]["y"]) > y_tol):
+            flush()
+            group = []
+        group.append(w)
+    flush()
+
+    return _assemble_tokens(lines, words)
+
+
+def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
+    """Parse one page payload → (token stream, extracted main text).
+
+    The extracted text is the newline-join of the content lines in
+    reading order — the byte-compared per-url invariant."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+
+    parser = _PageTokenizer()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        return [], ""
+
+    if parser.layout_words_json:
+        try:
+            payload = json.loads("".join(parser.layout_words_json))
+        except json.JSONDecodeError:
+            payload = []
+        tokens = tokens_from_layout_words(payload)
+    else:
+        lines, words = _layout_html_blocks(parser.blocks)
+        tokens = _assemble_tokens(lines, words)
+
+    extracted_text = "\n".join(t["text"] for t in tokens if t["type"] == "line")
+    return tokens, extracted_text

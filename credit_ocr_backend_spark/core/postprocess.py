@@ -1,0 +1,237 @@
+"""Geometric label/value pairing over OCR-style token streams.
+
+Reimplements, with identical observable semantics, the reference's
+``extract_label_value_pairs`` and ``normalize_ocr_lines``
+(/root/reference/src/ocr/postprocess.py:74-208 and :211-264). The
+matching here is a *greedy sequential* procedure whose output depends on
+input order (stable sort + a used-index set), so it is deliberately kept
+as per-document Python — the Spark layer runs it inside Arrow-batched
+UDFs rather than re-expressing it relationally, because a relational
+as-of join would not be byte-identical (see SURVEY.md §2.3 J2).
+
+Quirks that are load-bearing for parity and intentionally preserved:
+
+* ``min(line.get("confidence", 1.0), ...)`` treats a *missing* key as
+  1.0 but propagates an explicit ``None`` (which raises ``TypeError`` in
+  ``min``) — documents with explicit-None confidences fail the stage,
+  exactly like the reference would; the Spark shell catches this per
+  document and routes it to status=failed.
+* ``used`` marking of the matched value line goes through
+  ``list.index`` (first dict-equal element), not the scan index.
+* pairs are emitted before text lines in the normalized output, and
+  only ``type == "line"`` tokens with a non-null bounding box become
+  text lines.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+Token = Dict[str, Any]
+
+# Geometry helpers over 4-point boxes ([{x,y}] * 4). Missing/empty boxes
+# behave as the reference's helpers do (centers 0.0, sizes 0.0).
+
+
+def _cx(box: Optional[List[Dict[str, float]]]) -> float:
+    if not box:
+        return 0.0
+    return sum(p["x"] for p in box) / len(box)
+
+
+def _cy(box: Optional[List[Dict[str, float]]]) -> float:
+    if not box:
+        return 0.0
+    return sum(p["y"] for p in box) / len(box)
+
+
+def _height(box: Optional[List[Dict[str, float]]]) -> float:
+    if not box:
+        return 0.0
+    ys = [p["y"] for p in box]
+    return max(ys) - min(ys)
+
+
+def _same_row(box_a, box_b, threshold: float = 0.1) -> bool:
+    """Horizontally aligned iff |Δcenter_y| ≤ threshold × max box height."""
+    if not box_a or not box_b:
+        return False
+    tallest = max(_height(box_a), _height(box_b))
+    return abs(_cy(box_a) - _cy(box_b)) <= tallest * threshold
+
+
+def pair_lines(
+    ocr_lines: List[Token], y_thresh: float = 0.2, x_split: float = 2.5
+) -> List[Dict[str, Any]]:
+    """Extract label/value pairs from a token stream.
+
+    Three matching strategies, in order, per page (reference
+    postprocess.py:126-206):
+
+    1. same-line ``"label: value"`` colon split;
+    2. horizontally aligned pair — for each unconsumed left-of-``x_split``
+       line, the nearest unconsumed line to its right on the same row;
+    3. lookahead — the first of the next two lines that sits right of
+       ``x_split`` within ``y_thresh`` vertically.
+
+    Each consumed line index lands in a per-page used-set so no line is
+    claimed twice; the greedy order is part of the contract.
+    """
+    # Stable sort of the *whole* stream (words included) by page then
+    # vertical center; line filtering happens after, so page bucket
+    # order is the order pages first appear post-sort.
+    ordered = sorted(ocr_lines, key=lambda t: (t["page"], _cy(t["bounding_box"])))
+
+    by_page: Dict[Any, List[Token]] = defaultdict(list)
+    for tok in ordered:
+        if tok["type"] != "line":
+            continue
+        by_page[tok["page"]].append(tok)
+
+    pairs: List[Dict[str, Any]] = []
+
+    for page, lines in by_page.items():
+        used: set = set()
+
+        # Pass 1: colon-separated label/value on a single line.
+        for i, line in enumerate(lines):
+            if i in used:
+                continue
+            text = line["text"].strip()
+            if ":" not in text:
+                continue
+            label, _, value = (s.strip() for s in text.partition(":"))
+            if label and value:
+                pairs.append(
+                    {
+                        "label": label,
+                        "value": value,
+                        "page": page,
+                        "confidence": line.get("confidence"),
+                        "bounding_box": line.get("bounding_box"),
+                    }
+                )
+                used.add(i)
+
+        # Pass 2: geometric pairing for the remaining lines.
+        for i, line in enumerate(lines):
+            if i in used:
+                continue
+
+            text = line["text"].strip()
+            box = line["bounding_box"]
+            cx, cy = _cx(box), _cy(box)
+            if cx >= x_split:  # only left-aligned lines act as labels
+                continue
+
+            # 2a: nearest unconsumed line to the right on the same row.
+            best: Optional[Token] = None
+            best_x = float("inf")
+            for j, cand in enumerate(lines):
+                if j in used:
+                    continue
+                cand_x = _cx(cand["bounding_box"])
+                if _same_row(box, cand["bounding_box"]) and cx < cand_x < best_x:
+                    best = cand
+                    best_x = cand_x
+
+            if best is not None:
+                pairs.append(
+                    {
+                        "label": text,
+                        "value": best["text"].strip(),
+                        "page": page,
+                        "confidence": min(
+                            line.get("confidence", 1.0), best.get("confidence", 1.0)
+                        ),
+                        "bounding_box": best.get("bounding_box"),
+                    }
+                )
+                # First dict-equal element, as in the reference (:184).
+                used.update([i, lines.index(best)])
+                continue
+
+            # 2b: lookahead over the next two lines.
+            for j in range(i + 1, min(i + 3, len(lines))):
+                if j in used:
+                    continue
+                cand = lines[j]
+                cand_box = cand["bounding_box"]
+                if _cx(cand_box) > x_split and abs(_cy(cand_box) - cy) <= y_thresh:
+                    pairs.append(
+                        {
+                            "label": text,
+                            "value": cand["text"].strip(),
+                            "page": page,
+                            "confidence": min(
+                                line.get("confidence", 1.0),
+                                cand.get("confidence", 1.0),
+                            ),
+                            "bounding_box": cand.get("bounding_box"),
+                        }
+                    )
+                    used.update([i, j])
+                    break
+
+    return pairs
+
+
+def _first_token_with_text(text: str, tokens: List[Token]) -> Optional[Token]:
+    for tok in tokens:
+        if tok["text"] == text:
+            return tok
+    return None
+
+
+def normalize_items(ocr_lines: List[Token]) -> List[Dict[str, Any]]:
+    """Token stream → structured items: label_value pairs, then text lines.
+
+    Output item shapes and ordering match the reference's
+    ``normalize_ocr_lines`` (postprocess.py:211-264): every pair first
+    (confidence = pairing confidence, falling back to the min/either of
+    the first tokens whose text equals the label/value), then every
+    ``line`` token that has a bounding box as a ``text_line``.
+    """
+    items: List[Dict[str, Any]] = []
+
+    for pair in pair_lines(ocr_lines):
+        confidence = pair.get("confidence")
+        if confidence is None:
+            label_tok = _first_token_with_text(pair["label"], ocr_lines)
+            value_tok = _first_token_with_text(pair["value"], ocr_lines)
+            if label_tok and value_tok:
+                lc = label_tok.get("confidence")
+                vc = value_tok.get("confidence")
+                if lc is not None and vc is not None:
+                    confidence = min(lc, vc)
+                elif lc is not None:
+                    confidence = lc
+                elif vc is not None:
+                    confidence = vc
+
+        items.append(
+            {
+                "type": "label_value",
+                "label": pair["label"],
+                "value": pair["value"],
+                "page": pair["page"],
+                "confidence": confidence,
+                "bounding_box": pair.get("bounding_box"),
+            }
+        )
+
+    for tok in ocr_lines:
+        if tok["type"] != "line" or tok.get("bounding_box") is None:
+            continue
+        items.append(
+            {
+                "type": "text_line",
+                "text": tok["text"].strip(),
+                "page": tok["page"],
+                "confidence": tok.get("confidence"),
+                "bounding_box": tok.get("bounding_box"),
+            }
+        )
+
+    return items

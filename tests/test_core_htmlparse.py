@@ -1,0 +1,145 @@
+"""Tests for the HTML/layout tokenizer (the synthetic-OCR front-end).
+
+Covers: token schema invariants (reference
+tests/test_azure_ocr_client.py:32-45), boilerplate stripping, layout
+geometry contract (labels < x_split, value row offset), the PDF-like
+layout-word grouping path, and determinism.
+"""
+
+from __future__ import annotations
+
+import json
+
+from credit_ocr_backend_spark.core import (
+    default_config,
+    extract_fields,
+    normalize_items,
+    parse_page,
+    tokens_from_layout_words,
+)
+from credit_ocr_backend_spark.sources.pages import build_page
+
+
+def _schema_check(tokens: list[dict]) -> None:
+    # The reference's OCR-output invariants (test_azure_ocr_client.py:32-45).
+    assert isinstance(tokens, list) and tokens
+    for tok in tokens:
+        assert tok["type"] in {"line", "word"}
+        assert isinstance(tok["text"], str)
+        assert isinstance(tok["page"], int) and tok["page"] >= 1
+        box = tok["bounding_box"]
+        assert box is None or (
+            len(box) == 4 and all(set(p) == {"x", "y"} for p in box)
+        )
+        conf = tok["confidence"]
+        assert conf is None or (0.0 <= conf <= 1.0 and round(conf, 2) == conf)
+
+
+def test_html_page_tokens_schema_and_text() -> None:
+    tokens, text = parse_page(build_page(0)["html"])
+    _schema_check(tokens)
+    lines = [t for t in tokens if t["type"] == "line"]
+    assert text == "\n".join(t["text"] for t in lines)
+    assert "Firmenname" in text and "Kreditantrag Nr. 0" in text
+
+
+def test_boilerplate_is_stripped() -> None:
+    _, text = parse_page(build_page(1)["html"])
+    # chrome + link-dense blocks never reach the extracted text
+    assert "Impressum" not in text
+    assert "Kategorie" not in text
+    assert "Verwandter Link" not in text
+    assert "Login" not in text
+
+
+def test_link_density_filter() -> None:
+    html = (
+        "<body><div><a href='/a'>all of this text is one link</a></div>"
+        "<p>real content stays in the stream</p></body>"
+    )
+    _, text = parse_page(html)
+    assert text == "real content stays in the stream"
+
+
+def test_form_rows_become_label_value_geometry() -> None:
+    tokens, _ = parse_page(build_page(0)["html"])
+    lines = [t for t in tokens if t["type"] == "line"]
+    labels = {t["text"]: t for t in lines}
+    lab = labels["Firmenname"]
+    val = labels["DemoTech 0 GmbH"]
+    # label starts at the left margin; value in the second column
+    assert lab["bounding_box"][0]["x"] == 0.5
+    assert val["bounding_box"][0]["x"] == 3.0
+    # value row sits +0.01 under the label row (the fixture offset)
+    assert abs(val["bounding_box"][0]["y"] - lab["bounding_box"][0]["y"] - 0.01) < 1e-9
+
+
+def test_line_confidence_is_containment_average() -> None:
+    tokens, _ = parse_page(build_page(0)["html"])
+    lines = [t for t in tokens if t["type"] == "line"]
+    words = [t for t in tokens if t["type"] == "word"]
+    for line in lines[:5]:
+        xs = [p["x"] for p in line["bounding_box"]]
+        ys = [p["y"] for p in line["bounding_box"]]
+        contained = [
+            w["confidence"]
+            for w in words
+            if w["page"] == line["page"]
+            and min(xs) <= sum(p["x"] for p in w["bounding_box"]) / 4 <= max(xs)
+            and min(ys) <= sum(p["y"] for p in w["bounding_box"]) / 4 <= max(ys)
+        ]
+        assert contained, "every synthetic line must contain its words"
+        assert line["confidence"] == round(sum(contained) / len(contained), 2)
+
+
+def test_layout_words_grouping() -> None:
+    payload = [
+        {"t": "Firmenname", "p": 1, "x": 0.5, "y": 1.0, "w": 0.5, "h": 0.015, "c": 0.95},
+        {"t": "DemoTech", "p": 1, "x": 3.0, "y": 1.01, "w": 0.4, "h": 0.015, "c": 0.97},
+        {"t": "GmbH", "p": 1, "x": 3.45, "y": 1.01, "w": 0.2, "h": 0.015, "c": 0.93},
+    ]
+    tokens = tokens_from_layout_words(payload)
+    lines = [t for t in tokens if t["type"] == "line"]
+    assert [t["text"] for t in lines] == ["Firmenname", "DemoTech GmbH"]
+    # merged line envelope spans both words
+    box = lines[1]["bounding_box"]
+    assert box[0]["x"] == 3.0 and abs(box[1]["x"] - 3.65) < 1e-9
+    # line confidence = round(avg of contained words, 2)
+    assert lines[1]["confidence"] == round((0.97 + 0.93) / 2, 2)
+    # per page: lines before words (reference emission order)
+    assert [t["type"] for t in tokens] == ["line", "line", "word", "word", "word"]
+
+
+def test_layout_page_extracts_full_form() -> None:
+    page = build_page(3)  # k % 7 == 3 → layout payload
+    assert b"application/x-layout-words" in page["html"]
+    tokens, text = parse_page(page["html"])
+    _schema_check(tokens)
+    items = normalize_items(tokens)
+    result = extract_fields(items, default_config(), original_ocr_lines=tokens)
+    assert len(result["extracted_fields"]) >= 15
+    assert "Kreditantrag Nr. 3" in text
+
+
+def test_parse_is_deterministic() -> None:
+    html = build_page(42)["html"]
+    t1, x1 = parse_page(html)
+    t2, x2 = parse_page(html)
+    assert x1 == x2
+    assert json.dumps(t1, sort_keys=True) == json.dumps(t2, sort_keys=True)
+
+
+def test_malformed_html_yields_empty() -> None:
+    tokens, text = parse_page(b"\x00\xff not html at all")
+    assert text == "" or isinstance(text, str)  # never raises
+    tokens2, text2 = parse_page("")
+    assert tokens2 == [] and text2 == ""
+
+
+def test_giant_page_is_giant_and_html() -> None:
+    giant = build_page(17)  # k % 997 == 17 → skew tail
+    normal = build_page(18)
+    assert len(giant["html"]) > 20 * len(normal["html"])
+    assert b"application/x-layout-words" not in giant["html"]
+    tokens, _ = parse_page(giant["html"])
+    assert max(t["page"] for t in tokens) > 1  # spills over pages
