@@ -1,0 +1,151 @@
+"""Spark-shell tests: distribution must not change a single byte.
+
+* Spark fused output ≡ pure-core output per url (SURVEY.md §5.2.3)
+* staged mode (per-stage checkpoints) ≡ fused mode
+* resume: a failed chunk re-runs without recomputing committed
+  buckets, and the final output equals a clean run (north rule)
+* giant-document skew routing leaves results identical
+"""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from credit_ocr_backend_spark.core import default_config, process_document  # noqa: E402
+from credit_ocr_backend_spark.core.document import dumps_envelope  # noqa: E402
+from credit_ocr_backend_spark.plans.pipeline import run_pipeline  # noqa: E402
+from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
+from credit_ocr_backend_spark.sources.pages import build_page, write_pages  # noqa: E402
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("pipeline-tests", parallelism=4)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "pages")
+    write_pages(spark, path, n_docs=N_DOCS, partitions=4)
+    return path
+
+
+def _docs_map(spark, out_root):
+    rows = (
+        spark.read.parquet(f"{out_root}/docs")
+        .select("url", "status", "extracted_text", "extraction_json")
+        .collect()
+    )
+    return {r["url"]: r for r in rows}
+
+
+def test_fused_matches_pure_core_bytes(spark, pages_path, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, pages_path, out, n_buckets=8, n_chunks=2)
+    assert res.n_docs == N_DOCS
+    assert res.n_failed == 0
+
+    got = _docs_map(spark, out)
+    assert len(got) == N_DOCS
+
+    cfg = default_config()
+    for k in range(0, N_DOCS, 13):  # sample across html/layout/giant paths
+        page = build_page(k)
+        local = process_document(page["url"], page["html"], cfg)
+        expected_json = dumps_envelope(
+            {"document_id": page["url"], "extraction_results": local["extraction"]}
+        )
+        row = got[page["url"]]
+        assert row["status"] == local["status"]
+        assert row["extracted_text"] == local["extracted_text"]  # byte-identical
+        assert row["extraction_json"] == expected_json  # byte-identical
+
+
+def test_staged_equals_fused(spark, pages_path, tmp_path):
+    fused_out = str(tmp_path / "fused")
+    staged_out = str(tmp_path / "staged")
+    run_pipeline(spark, pages_path, fused_out, n_buckets=8, n_chunks=1)
+    run_pipeline(spark, pages_path, staged_out, n_buckets=8, n_chunks=1, mode="staged")
+
+    fused = _docs_map(spark, fused_out)
+    staged = _docs_map(spark, staged_out)
+    assert set(fused) == set(staged)
+    for url, frow in fused.items():
+        srow = staged[url]
+        assert frow["extracted_text"] == srow["extracted_text"]
+        assert frow["extraction_json"] == srow["extraction_json"], url
+
+    # stage checkpoint tables exist and carry every url
+    parsed = spark.read.parquet(f"{staged_out}/parsed")
+    normalized = spark.read.parquet(f"{staged_out}/normalized")
+    assert parsed.count() == N_DOCS
+    assert normalized.count() == N_DOCS
+
+
+def test_resume_skips_committed_chunks(spark, pages_path, tmp_path):
+    clean_out = str(tmp_path / "clean")
+    run_pipeline(spark, pages_path, clean_out, n_buckets=8, n_chunks=4)
+
+    resumed_out = str(tmp_path / "resumed")
+    # First run dies on chunk 3 (buckets 4-5) after committing chunks 1-2.
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, pages_path, resumed_out,
+            n_buckets=8, n_chunks=4, fail_buckets={4},
+        )
+    partial = spark.read.parquet(f"{resumed_out}/lineage")
+    committed = {r["bucket"] for r in partial.select("bucket").collect()}
+    assert committed == {0, 1, 2, 3}  # chunks 1+2 committed, rest not
+
+    res = run_pipeline(
+        spark, pages_path, resumed_out, n_buckets=8, n_chunks=4, resume=True
+    )
+    assert res.chunks_skipped == 2
+    assert res.chunks_run == 2
+    # Only the un-committed buckets were recomputed.
+    assert set(res.buckets_done) == {4, 5, 6, 7}
+
+    clean = _docs_map(spark, clean_out)
+    resumed = _docs_map(spark, resumed_out)
+    assert set(clean) == set(resumed)
+    for url in clean:
+        assert clean[url]["extraction_json"] == resumed[url]["extraction_json"]
+
+
+def test_results_long_format(spark, pages_path, tmp_path):
+    out = str(tmp_path / "long")
+    run_pipeline(spark, pages_path, out, n_buckets=8, n_chunks=1)
+    results = spark.read.parquet(f"{out}/results")
+    assert results.where(F.col("field_name").isNull()).count() == 0
+    assert results.select("url").distinct().count() > 0
+    # every confidence within [0,1]
+    bad = results.where((F.col("confidence") < 0) | (F.col("confidence") > 1)).count()
+    assert bad == 0
+    # vat_id rows validate true for the canonical value
+    vat = results.where(
+        (F.col("field_name") == "vat_id") & (F.col("value") == "DE123456789")
+    )
+    assert vat.where(~F.col("is_valid")).count() == 0
+
+
+def test_warc_ts_pruning(spark, pages_path, tmp_path):
+    out = str(tmp_path / "pruned")
+    res = run_pipeline(
+        spark, pages_path, out,
+        n_buckets=8, n_chunks=1, ts_min="2025-01-01", ts_max="2025-01-03",
+    )
+    docs = spark.read.parquet(f"{out}/docs")
+    n = docs.count()
+    assert 0 < n < N_DOCS
+    assert res.n_docs == n
+    # exactly the pages whose warc_ts falls in the first two days
+    pages = spark.read.parquet(pages_path)
+    expected = pages.where(F.col("warc_date") < "2025-01-03").count()
+    assert n == expected
