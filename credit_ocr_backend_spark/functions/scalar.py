@@ -1,0 +1,92 @@
+"""Spark-native scalar analogues of the reference's cleaning functions.
+
+These are the *corpus-level, JVM-side* versions of SURVEY.md §2.7
+(F1-F15) — whole-stage-codegen'd column expressions for bulk queries.
+They intentionally live NEXT TO (not instead of) the pure-Python
+``core.fields.clean_value``: per-document byte-parity extraction uses
+the core inside Arrow UDFs; relational analytics over billions of rows
+uses these built-ins so nothing drops out of codegen.
+
+Reference: /root/reference/src/llm/field_extractor.py:42-76 (clean_value),
+tests/test_mock_ocr_results.py:12-14 (normalize_label),
+src/dms_mock/service.py:26-32 (sha256).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_string(col: Column | str) -> Column:
+    """F1: strip."""
+    return F.trim(F.col(col) if isinstance(col, str) else col)
+
+
+def valid_german_date(col: Column | str) -> Column:
+    """F2: value iff DD.MM.YYYY prefix-matches, else NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.rlike(r"^\d{2}\.\d{2}\.\d{4}$"), c)
+
+
+def clean_currency(col: Column | str) -> Column:
+    """F3: strip €/space, ','→'.', keep digits+dot, cast double.
+
+    NOTE the reference semantics: multiple dots ('4.200.000') make
+    ``float()`` raise; the relational analogue yields NULL instead of
+    failing the row — the one deliberate divergence (documented), since
+    a 10^12-row query cannot abort on one malformed cell. The byte-parity
+    path (core.clean_value) keeps the raising behavior.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(
+        F.translate(c, "€ ", ""), ",", "."
+    )
+    digits = F.regexp_replace(cleaned, r"[^0-9.]", "")
+    return digits.cast("double")
+
+
+def clean_area(col: Column | str) -> Column:
+    """F4: strip 'm²' and spaces → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, r"m²| ", "").cast("double")
+
+
+def clean_number(col: Column | str) -> Column:
+    """F5: digits only → long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.nullif(F.regexp_replace(c, r"[^0-9]", ""), F.lit("")).cast("long")
+
+
+def clean_boolean(col: Column | str) -> Column:
+    """F6: '[x]' containment on the lowercased value."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c).contains("[x]")
+
+
+def german_number(col: Column | str) -> Column:
+    """F7: '1.234,56' → 1234.56 (thousands dots dropped, comma point)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\.", ""), ",", "."
+    ).cast("double")
+
+
+def normalize_label_col(col: Column | str) -> Column:
+    """F10: the n-stripping label normalizer (quirk preserved):
+    lower → drop '?' and every 'n' → trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.translate(F.lower(c), "?n", ""))
+
+
+def content_sha256(col: Column | str) -> Column:
+    """F15/S7: sha256 hex digest of the content bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("binary"), 256)
+
+
+def hex_prefix_to_long(col: Column, n_hex_chars: int = 15) -> Column:
+    """First n hex chars of a digest as a non-negative long — the
+    cross-engine-stable uniform hash used by MinHash/SimHash (matches
+    DuckDB ``CAST('0x'||substr(md5(x),1,n) AS BIGINT)``)."""
+    return F.conv(F.substring(col, 1, n_hex_chars), 16, 10).cast("long")

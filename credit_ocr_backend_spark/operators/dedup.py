@@ -1,0 +1,178 @@
+"""Corpus deduplication operators — first-class components of the
+training-data pipeline (exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+All pure DataFrame compositions of built-ins (whole-stage codegen, no
+Python on the hot path). Hashing is md5-hex based so a DuckDB oracle
+can reproduce every value exactly (``conv(substr(md5(x),1,15),16,10)``
+≡ ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``).
+
+Scale notes:
+* exact dedup is one hash-shuffle on the digest — the canonical
+  pattern at any scale;
+* MinHash signatures are computed with h min-aggregations in a single
+  groupBy pass over exploded shingles (no h-way row amplification);
+  LSH banding turns the O(n²) similarity join into an equi-join on
+  (band_id, band_hash) — the only join is on a high-cardinality key,
+  AQE handles residual bucket skew;
+* SimHash is one explode + one groupBy with 16 conditional sums.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from credit_ocr_backend_spark.functions.scalar import hex_prefix_to_long
+
+N_MINHASHES = 8
+LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
+SIMHASH_BITS = 16
+
+
+def words_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (built-ins only)."""
+    toks = words_col(text)
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 digest; keeps the smallest
+    id as canonical. Returns (content_hash, n_dups, canonical_id)."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.md5(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("_id").alias("canonical_id"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """(id, mh0..mh{n-1}): per-document MinHash signature.
+
+    One explode + one groupBy with n_hashes min-aggregations; the seed
+    is mixed in as a string prefix so each hash family member is an
+    independent permutation proxy."""
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = N_MINHASHES, band_rows: int = LSH_BAND_ROWS
+) -> DataFrame:
+    """Band the signature and self-join on (band_id, band_hash): two
+    documents are candidates iff some band agrees fully. Returns
+    distinct (doc_a, doc_b) with doc_a < doc_b."""
+    n_bands = n_hashes // band_rows
+    bands = [
+        signatures.select(
+            F.col("doc"),
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = reduce(DataFrame.unionByName, bands)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification step after
+    LSH): |A∩B| via an equi-join of distinct shingles, |A∪B| by
+    inclusion-exclusion. Returns (doc_a, doc_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles_col(text_col))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc")) & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (F.col("za.n_sh") + F.col("zb.n_sh") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-document SimHash fingerprint over word tokens.
+
+    bit b of the fingerprint is 1 iff the signed vote
+    Σ_tokens (±1 by token-hash bit b) is ≥ 0. Returns (doc, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("tok")
+    ).withColumn("h", hex_prefix_to_long(F.md5("tok"), 4))
+
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy("doc").agg(*votes)
+    fingerprint = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0),
+    )
+    return voted.select("doc", fingerprint.alias("simhash"))

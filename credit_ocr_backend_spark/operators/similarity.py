@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure built-ins (higher-order functions — zip_with /
+aggregate / transform — stay JVM-side):
+
+* brute-force top-k: exact, the baseline; O(n) dot products per query,
+  one narrow scan + one local top-k (no shuffle beyond the final
+  ordering of k rows);
+* LSH-bucketed: sign-random-projection buckets computed from
+  md5-derived ±1 hyperplanes (deterministic, cross-engine
+  reproducible); candidate set = same-bucket rows, so the scan is
+  pruned to ~n/2^planes per query at scale. The bucket id is a plain
+  int column — at 10^12 rows you'd cluster/bucket-partition the table
+  by it so a query reads one bucket.
+
+Numeric determinism: embeddings are quantized to integer milli-units
+(round(x·1000)) before any arithmetic, so dot products are exact
+integers and identical in Spark and DuckDB; cosine is derived from
+those exact integers and rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def quantize(col: Column | str) -> Column:
+    """floor(x·1000 + 0.5): explicit HALF-UP — identical in every engine
+    (unlike round(), whose tie rule differs between engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long")
+    )
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine from exact integer dot/norms, rounded to 6 decimals."""
+    return F.round(
+        dot_q(a, b)
+        / F.sqrt(norm_sq_q(a).cast("double") * norm_sq_q(b).cast("double")),
+        6,
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a 1-row query DataFrame (broadcast
+    — never a shuffle of the big side). Ties break on id for
+    determinism. Returns (vec_id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    scored = (
+        df.crossJoin(q)
+        .select(
+            F.col(id_col),
+            cosine_q(quantize(vec_col), quantize("_qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def _plane_sign(plane: int, dim: Column) -> Column:
+    """Deterministic ±1 for (plane, dimension) from md5 parity —
+    reproducible in any engine with md5."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"p{plane}_"), dim.cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+
+
+def lsh_bucket(vec_col: Column | str, n_planes: int = N_PLANES) -> Column:
+    """Sign-random-projection bucket id (0..2^n_planes-1)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    q = quantize(c)
+
+    def plane_bit(p: int) -> Column:
+        signed = F.zip_with(
+            q,
+            F.transform(F.sequence(F.lit(0), F.size(q) - 1), lambda i: _plane_sign(p, i)),
+            lambda x, s: x * s,
+        )
+        proj = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+
+    return reduce(lambda acc, p: acc + plane_bit(p), range(n_planes), F.lit(0))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k: restrict to the query's LSH bucket, then exact
+    cosine rank within it. Returns (vec_id, cos_sim, rank)."""
+    from pyspark.sql.window import Window
+
+    bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, n_planes))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("_qvec"),
+            lsh_bucket(vec_col, n_planes).alias("_qbucket"),
+        )
+    )
+    scored = (
+        bucketed.join(q, F.col("_bucket") == F.col("_qbucket"))
+        .select(
+            F.col(id_col),
+            cosine_q(quantize(vec_col), quantize("_qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on ``block_col``
+    to avoid the full O(n²) cross join (at scale the block key would be
+    an LSH bucket; here the labeled dataset provides a natural block).
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos ≥ threshold."""
+    q = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        quantize(vec_col).alias("_q"),
+    )
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(
+                dot_q(F.col("a._q"), F.col("b._q"))
+                / F.sqrt(
+                    norm_sq_q(F.col("a._q")).cast("double")
+                    * norm_sq_q(F.col("b._q")).cast("double")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,936 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle
+for every operator class in SURVEY.md §2 plus the training-data
+operators (dedup / similarity / text analysis).
+
+Every entry is a matched pair — identical output column names and
+identical value semantics; numeric outputs are made engine-stable
+(decimal sums, integer-quantized vector math, explicit HALF_UP
+floor(x+0.5) where rounding matters).
+
+Cross-engine determinism rules used throughout:
+* md5 hex is the only hash (identical in Spark and DuckDB);
+* hex→int via Spark ``conv(substr(md5,1,k),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5,1,k) AS BIGINT)``;
+* double sums go through DECIMAL casts (associative, order-free);
+* timestamps are formatted to strings in UTC.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from credit_ocr_backend_spark.functions import scalar as S
+from credit_ocr_backend_spark.operators import dedup as D
+from credit_ocr_backend_spark.operators import similarity as SIM
+from credit_ocr_backend_spark.operators import textstats as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: Dict[str, QueryFn] = {}
+_ORACLES: Dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# A. Relational operator coverage (SURVEY §2.2, 2.3, 2.4, 2.5, 2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+             AS net_price_cents
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def q_filter_project(spark, sf):
+    """P1/P2/P7: predicate + projection; filters push to the parquet scan.
+    Price emitted as integer cents via explicit floor(x+0.5) — round()
+    tie behavior differs between engines on doubles."""
+    li = _t(spark, sf, "lineitem")
+    return li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("net_price_cents"),
+    )
+
+
+@_register(
+    "lang_counts",
+    """
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_counts(spark, sf):
+    """A7: hash aggregation with map-side partial agg."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@_register(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey,
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_order(spark, sf):
+    """A6/W6: latest-row-per-key (the Extraktionsauftrag top-1 pattern,
+    /root/reference/src/ocr/extraction.py:462-468)."""
+    _utc(spark)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+        )
+    )
+
+
+@_register(
+    "orders_per_customer",
+    """
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+           round(CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE), 2)
+             AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_orders_per_customer(spark, sf):
+    """J7 + A7: one-to-many equi-join + per-key counts; decimal sum keeps
+    the aggregate order-free."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+                ).cast("double"),
+                2,
+            ).alias("total_spent"),
+        )
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_revenue_by_nation(spark, sf):
+    """J7 chain with explicit broadcast of the small dims — the fact
+    table shuffles once on the join key, dims never shuffle."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "shipdate_range_join",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_lineitems
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_shipdate_range_join(spark, sf):
+    """J1-analogue at corpus level: equi key + range containment
+    predicate (the interval test of the word∈line join)."""
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lineitems"))
+    )
+
+
+@_register(
+    "next_event_asof",
+    """
+    SELECT event_id,
+           lead(event_type) OVER w AS next_type,
+           CAST(date_diff('second', ts, lead(ts) OVER w) AS BIGINT) AS gap_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_next_event_asof(spark, sf):
+    """J2/W3-analogue: nearest-next-neighbor per key (as-of/lead)."""
+    _utc(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).cast("long").alias("gap_s"),
+    )
+
+
+@_register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+                  > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark, sf):
+    """Stateful sessionization (gap > 30 min ⇒ new session) — the batch
+    analogue of a session window; expressed with running-sum windows."""
+    _utc(spark)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf, "events")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(order)))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        flagged.withColumn("session_seq", F.sum("is_new").over(running))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "top5_newest_orders",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5
+    """,
+)
+def q_top5_newest(spark, sf):
+    """W5/W6: newest-first listing with LIMIT."""
+    _utc(spark)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(5)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts"),
+        )
+    )
+
+
+@_register(
+    "union_tagged",
+    """
+    SELECT tag, strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day, count(*) AS n
+    FROM (
+      SELECT 'purchase' AS tag, ts FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'error' AS tag, ts FROM events WHERE event_type = 'error'
+    ) GROUP BY tag, event_day
+    """,
+)
+def q_union_tagged(spark, sf):
+    """U1: ordered union of two branches with provenance tag."""
+    _utc(spark)
+    e = _t(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("tag"), "ts"
+    )
+    errors = e.where(F.col("event_type") == "error").select(
+        F.lit("error").alias("tag"), "ts"
+    )
+    return (
+        purchases.unionByName(errors)
+        .groupBy("tag", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "missing_langs",
+    """
+    SELECT source,
+           array_to_string(
+             list_sort(list_filter(['de','en','es','fr','zh'],
+                       x -> NOT list_contains(list(lang), x))), ',') AS missing
+    FROM documents GROUP BY source
+    """,
+)
+def q_missing_langs(spark, sf):
+    """U2/A5: expected-set difference (the missing_fields pattern,
+    /root/reference/src/llm/field_extractor.py:327-332)."""
+    expected = F.array(*[F.lit(x) for x in ["de", "en", "es", "fr", "zh"]])
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.array_except(expected, F.collect_set("lang")))
+            ).alias("missing")
+        )
+    )
+
+
+@_register(
+    "hourly_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+)
+def q_hourly_events(spark, sf):
+    """Tumbling event-time window aggregation (the batch form of the
+    streaming windowed agg; watermarking applies on the stream path)."""
+    _utc(spark)
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Scalar function coverage (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "clean_currency",
+    """
+    SELECT c_custkey,
+           CAST(regexp_replace(replace(replace(
+                  CAST(c_custkey AS VARCHAR) || ',' ||
+                  lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '€',
+                  '€',''), ',','.'), '[^0-9.]', '', 'g') AS DOUBLE) AS amount
+    FROM customer
+    """,
+)
+def q_clean_currency(spark, sf):
+    """F3: currency cleaning round-trip on synthesized German-format
+    strings (int-derived so string forms agree across engines)."""
+    c = _t(spark, sf, "customer")
+    german = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit(","),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit("€"),
+    )
+    return c.select("c_custkey", S.clean_currency(german).alias("amount"))
+
+
+@_register(
+    "clean_number",
+    """
+    SELECT CAST(nullif(regexp_replace(o_orderpriority, '[^0-9]', '', 'g'), '') AS BIGINT)
+             AS priority_num,
+           count(*) AS n
+    FROM orders GROUP BY priority_num
+    """,
+)
+def q_clean_number(spark, sf):
+    """F5: digits-only extraction → number."""
+    return (
+        _t(spark, sf, "orders")
+        .select(S.clean_number("o_orderpriority").alias("priority_num"))
+        .groupBy("priority_num")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "german_date_valid",
+    """
+    SELECT sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%d.%m.%Y'),
+                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS n_valid,
+           sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%Y-%m-%d'),
+                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS n_invalid_fmt
+    FROM orders
+    """,
+)
+def q_german_date_valid(spark, sf):
+    """F2: DD.MM.YYYY validation on both a conforming and a
+    non-conforming rendering."""
+    _utc(spark)
+    o = _t(spark, sf, "orders")
+    de = F.date_format("o_orderdate", "dd.MM.yyyy")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    pat = r"^\d{2}\.\d{2}\.\d{4}$"
+    return o.agg(
+        F.sum(F.when(de.rlike(pat), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(iso.rlike(pat), 1).otherwise(0)).alias("n_invalid_fmt"),
+    )
+
+
+@_register(
+    "checkbox_boolean",
+    """
+    SELECT event_type,
+           contains(lower(CASE WHEN value > 50 THEN '[x] ja [ ] nein'
+                                ELSE '[ ] ja [X] nein' END), '[x]') AS checked,
+           count(*) AS n
+    FROM events GROUP BY event_type, checked
+    """,
+)
+def q_checkbox_boolean(spark, sf):
+    """F6: checkbox containment on the lowercased value."""
+    e = _t(spark, sf, "events")
+    box = F.when(F.col("value") > 50, F.lit("[x] ja [ ] nein")).otherwise(
+        F.lit("[ ] ja [X] nein")
+    )
+    return e.groupBy(
+        "event_type", S.clean_boolean(box).alias("checked")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "label_normalizer",
+    """
+    SELECT trim(translate(lower(p_name), '?n', '')) AS norm_label, count(*) AS n
+    FROM part GROUP BY norm_label
+    """,
+)
+def q_label_normalizer(spark, sf):
+    """F10: the n-stripping normalizer quirk, corpus-level."""
+    return (
+        _t(spark, sf, "part")
+        .groupBy(S.normalize_label_col("p_name").alias("norm_label"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "content_sha256",
+    """
+    SELECT lang, count(DISTINCT sha256(text)) AS n_distinct_hashes
+    FROM documents GROUP BY lang
+    """,
+)
+def q_content_sha256(spark, sf):
+    """F15/S7: content hashing (the DMS upload digest)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(F.countDistinct(F.sha2(F.col("text").cast("binary"), 256)).alias("n_distinct_hashes"))
+    )
+
+
+@_register(
+    "colon_split",
+    """
+    SELECT p_partkey,
+           trim(split_part(p_brand || ': ' || p_type, ':', 1)) AS label,
+           trim(split_part(p_brand || ': ' || p_type, ':', 2)) AS value
+    FROM part
+    """,
+)
+def q_colon_split(spark, sf):
+    """F11/J3: the colon label/value split."""
+    p = _t(spark, sf, "part")
+    joined = F.concat(F.col("p_brand"), F.lit(": "), F.col("p_type"))
+    parts = F.split(joined, ":", 2)
+    return p.select(
+        "p_partkey",
+        F.trim(F.element_at(parts, 1)).alias("label"),
+        F.trim(F.element_at(parts, 2)).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Training-data operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = """
+    list_transform(range(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 1, 1)),
+        i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' '))
+"""
+
+
+@_register(
+    "exact_dups",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+    FROM documents GROUP BY content_hash
+    """,
+)
+def q_exact_dups(spark, sf):
+    """Exact deduplication: one hash-shuffle on the content digest."""
+    return D.exact_duplicates(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _duck_minhash_cte() -> str:
+    aggs = ", ".join(
+        f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(D.N_MINHASHES)
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+    )
+    SELECT doc, {aggs} FROM exploded GROUP BY doc
+    """
+
+
+@_register("minhash_signatures", _duck_minhash_cte())
+def q_minhash_signatures(spark, sf):
+    """MinHash signatures: single explode + 8 min-aggs in one pass."""
+    return D.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _duck_lsh_pairs() -> str:
+    n_bands = D.N_MINHASHES // D.LSH_BAND_ROWS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_id, md5(mh{b * D.LSH_BAND_ROWS} || '|' || "
+        f"mh{b * D.LSH_BAND_ROWS + 1}) AS band_hash FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS sh FROM documents
+    ), sigs AS (
+      SELECT doc, {", ".join(f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(D.N_MINHASHES))}
+      FROM exploded GROUP BY doc
+    ), banded AS ({band_selects})
+    SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc < r.doc
+    """
+
+
+@_register("lsh_candidate_pairs", _duck_lsh_pairs())
+def q_lsh_pairs(spark, sf):
+    """MinHash-LSH banding: the O(n²) similarity join reduced to an
+    equi-join on (band_id, band_hash)."""
+    sigs = D.minhash_signatures(_t(spark, sf, "documents"), "doc_id", "text")
+    return D.lsh_candidate_pairs(sigs)
+
+
+@_register(
+    "ngram_jaccard_fixed_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_DUCK_SHINGLES})) AS sh
+      FROM documents
+    ), pairs(doc_a, doc_b) AS (VALUES (0,1),(2,3),(4,5),(6,7),(8,9)),
+    sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc = p.doc_a
+      JOIN sh sb ON sb.doc = p.doc_b AND sa.sh = sb.sh
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(coalesce(i.n_inter, 0) * 1.0 /
+                 (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN sizes za ON za.doc = p.doc_a
+    JOIN sizes zb ON zb.doc = p.doc_b
+    """,
+)
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard on a fixed candidate set (the LSH
+    verification step, guaranteed non-empty)."""
+    docs = _t(spark, sf, "documents")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)], "doc_a long, doc_b long"
+    )
+    return D.ngram_jaccard(docs, pairs, "doc_id", "text")
+
+
+def _duck_simhash() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             CAST('0x' || substr(md5(unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 4) AS BIGINT) AS h
+      FROM documents
+    ), votes AS (
+      SELECT doc, {votes} FROM toks GROUP BY doc
+    )
+    SELECT doc, {fp} AS simhash FROM votes
+    """
+
+
+@_register("simhash_fingerprints", _duck_simhash())
+def q_simhash(spark, sf):
+    """SimHash 16-bit fingerprints (near-dup clustering key)."""
+    return D.simhash(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_DUCK_QUANT = "list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+
+def _duck_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i]))"
+    )
+
+
+@_register(
+    "embedding_topk",
+    f"""
+    WITH q AS (
+      SELECT {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id,
+             round({_duck_dot('ev', 'qv')} /
+                   sqrt(CAST({_duck_dot('ev', 'ev')} AS DOUBLE) *
+                        CAST({_duck_dot('qv', 'qv')} AS DOUBLE)), 6) AS cos_sim
+      FROM (SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS ev FROM embeddings) e, q
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-k (exact ANN baseline; integer-quantized
+    dot products make it bit-stable across engines)."""
+    emb = _t(spark, sf, "embeddings")
+    query = emb.where(F.col("vec_id") == 0)
+    return SIM.brute_force_topk(emb, query, k=10)
+
+
+@_register(
+    "embedding_block_maxcos",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
+    ), pairs AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_duck_dot('a.qv', 'b.qv')} /
+                   sqrt(CAST({_duck_dot('a.qv', 'a.qv')} AS DOUBLE) *
+                        CAST({_duck_dot('b.qv', 'b.qv')} AS DOUBLE)), 6) AS cos_sim
+      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, id_a, id_b, cos_sim,
+           row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, id_a, id_b) AS rnk
+    FROM pairs
+    QUALIFY rnk = 1
+    """,
+)
+def q_embedding_block_maxcos(spark, sf):
+    """Embedding-cosine near-dup search, blocked by label: the single
+    most similar pair per block (non-empty, deterministic)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.select(
+        "vec_id", "label", SIM.quantize("embedding").alias("qv")
+    )
+    a, b = q.alias("a"), q.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            SIM.dot_q(F.col("a.qv"), F.col("b.qv"))
+            / F.sqrt(
+                SIM.norm_sq_q(F.col("a.qv")).cast("double")
+                * SIM.norm_sq_q(F.col("b.qv")).cast("double")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), "id_a", "id_b")
+    return pairs.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+
+
+@_register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^\\sA-Za-zÀ-ÿ0-9]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf):
+    """Token counting: whitespace + BPE-ish regex."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").alias("n_ws_tokens"),
+        T.token_count_bpeish("text").alias("n_bpe_tokens"),
+    )
+
+
+def _duck_lang_case() -> str:
+    hits = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+        for lang, words in T.LANG_MARKERS.items()
+    }
+    # mirror of the Spark when-chain: later languages win only on strictly
+    # greater scores; running best via greatest(...)
+    langs = list(hits)
+    expr = "'unknown'"
+    best = "0"
+    for lang in langs:
+        expr = f"CASE WHEN {hits[lang]} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, {hits[lang]})"
+    return expr
+
+
+@_register(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_duck_lang_case()} AS pred_lang, count(*) AS n
+    FROM documents GROUP BY lang, pred_lang
+    """,
+)
+def q_lang_id(spark, sf):
+    """Language-ID heuristic vs the labeled lang column (confusion
+    counts)."""
+    d = _t(spark, sf, "documents")
+    return d.groupBy(
+        "lang", T.predicted_lang("text").alias("pred_lang")
+    ).agg(F.count("*").alias("n"))
+
+
+@_register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark, sf):
+    """Document fingerprint: md5 of normalized text."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@_register(
+    "quality_scores",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that)\\b')) +
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           round((0.6 * least(n_tokens / 100.0, 1.0) +
+                  0.4 * least(round(n_stop * 1.0 / greatest(n_tokens, 1), 6) * 5, 1.0)) *
+                 (CASE WHEN round(n_punct * 1.0 / greatest(n_chars, 1), 6) > 0.2
+                       THEN 0.5 ELSE 1.0 END), 6) AS quality
+    FROM feats
+    """,
+)
+def q_quality_scores(spark, sf):
+    """Composite text-quality score (length/stopword/punctuation)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# D. Extraction engine itself (rows-only checks — per-document Python
+# semantics, not SQL-expressible; byte-parity is covered by the pytest
+# golden suite instead)
+# ---------------------------------------------------------------------------
+
+
+def q_extraction_results(spark, sf):
+    """Full extraction pipeline over a generated 64-page corpus →
+    long-format field rows (the ExtrahierteDaten table)."""
+    from credit_ocr_backend_spark.core.config import default_config
+    from credit_ocr_backend_spark.operators.stages import (
+        EXTRACTED_SCHEMA,
+        make_fused_stage,
+    )
+    from credit_ocr_backend_spark.sources.checkpoint import with_bucket
+    from credit_ocr_backend_spark.sources.pages import generate_pages_df
+
+    pages = with_bucket(generate_pages_df(spark, 64, partitions=8), 16)
+    extracted = pages.select("url", "html", "bucket").mapInPandas(
+        make_fused_stage(default_config()), schema=EXTRACTED_SCHEMA
+    )
+    return (
+        extracted.select("url", F.explode("fields").alias("f"))
+        .select(
+            "url",
+            F.col("f.field_name").alias("field_name"),
+            F.col("f.value").alias("value"),
+            F.col("f.confidence").alias("confidence"),
+            F.col("f.is_valid").alias("is_valid"),
+        )
+    )
+
+
+def q_extraction_docs(spark, sf):
+    """Doc-level extraction outcomes for the generated corpus."""
+    from credit_ocr_backend_spark.core.config import default_config
+    from credit_ocr_backend_spark.operators.stages import (
+        EXTRACTED_SCHEMA,
+        make_fused_stage,
+    )
+    from credit_ocr_backend_spark.sources.checkpoint import with_bucket
+    from credit_ocr_backend_spark.sources.pages import generate_pages_df
+
+    pages = with_bucket(generate_pages_df(spark, 64, partitions=8), 16)
+    extracted = pages.select("url", "html", "bucket").mapInPandas(
+        make_fused_stage(default_config()), schema=EXTRACTED_SCHEMA
+    )
+    return extracted.select(
+        "url",
+        "status",
+        F.size("missing_fields").alias("n_missing"),
+        F.length("extracted_text").alias("text_len"),
+    )
+
+
+_QUERIES["extraction_results"] = q_extraction_results
+_QUERIES["extraction_docs"] = q_extraction_docs
+
+
+# ---------------------------------------------------------------------------
+# public registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> Dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> Dict[str, str]:
+    return dict(_ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entry() query: training-data curation summary — dedup +
+    quality + language stats per source over the documents table."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = T.document_stats(docs, "doc_id", "text")
+    dups = D.exact_duplicates(docs, "doc_id", "text").where(F.col("n_dups") > 1)
+    return (
+        docs.join(stats, "doc_id")
+        .join(
+            dups.select(F.col("canonical_id").alias("doc_id"), "n_dups"),
+            "doc_id",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+            F.countDistinct("fp").alias("n_unique_fp"),
+            F.sum(F.coalesce(F.col("n_dups"), F.lit(0))).alias("n_exact_dup_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same sf dir,
+compare row count, column names, and an order-insensitive value hash.
+
+Usage: python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _norm_cell(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6f}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_digest(cols, rows):
+    import hashlib
+
+    cols = list(cols)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.md5("\n".join(lines).encode("utf-8")).hexdigest()
+    return sorted(cols), len(rows), h
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from credit_ocr_backend_spark.plans.session import get_spark
+
+    spark = get_spark("oracle-check", parallelism=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+            s_sig = frame_digest(scols, [[r[c] for c in scols] for r in srows])
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only rows={s_sig[1]} (no oracle)")
+            continue
+
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            d_sig = frame_digest(dcols, drows)
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
+            failures += 1
+            continue
+
+        if s_sig == d_sig:
+            print(f"ok    {name}: rows={s_sig[1]}")
+        else:
+            failures += 1
+            print(f"FAIL  {name}: spark(cols={s_sig[0]}, n={s_sig[1]}, h={s_sig[2][:8]})"
+                  f" vs duck(cols={d_sig[0]}, n={d_sig[1]}, h={d_sig[2][:8]})")
+    print(f"\n{failures} failures / {len(only) if only else len(qs)} checked")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,59 @@
+"""Guards on the driver contract: registry shape and coverage.
+
+(The full Spark-vs-DuckDB value comparison is tests/oracle_check.py —
+run standalone since it spins a session over every query; CI-light
+shape checks live here.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def test_queries_registry_shape():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key has a query
+    assert set(oracles) <= set(qs)
+    # only the extraction pipeline (per-document Python semantics) is
+    # rows-only — everything else must be oracle-checked
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {"extraction_results", "extraction_docs"}
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_operator_class_coverage():
+    """SURVEY.md §2 classes + training-data ops each have ≥1 query."""
+    qs = set(entrymod.queries())
+    coverage = {
+        "filters_projections": {"filter_project", "colon_split"},
+        "joins": {"orders_per_customer", "revenue_by_nation", "shipdate_range_join"},
+        "aggregations": {"lang_counts", "latest_order_per_customer"},
+        "windows_sorts_limits": {"next_event_asof", "top5_newest_orders", "sessionize"},
+        "set_ops": {"union_tagged", "missing_langs"},
+        "scalar_functions": {
+            "clean_currency", "clean_number", "german_date_valid",
+            "checkbox_boolean", "label_normalizer", "content_sha256",
+        },
+        "dedup": {
+            "exact_dups", "minhash_signatures", "lsh_candidate_pairs",
+            "ngram_jaccard_fixed_pairs", "simhash_fingerprints",
+        },
+        "similarity": {"embedding_topk", "embedding_block_maxcos"},
+        "text_analysis": {
+            "token_counts", "lang_id_confusion", "doc_fingerprints",
+            "quality_scores",
+        },
+        "extraction_pipeline": {"extraction_results", "extraction_docs"},
+    }
+    for cls, names in coverage.items():
+        assert names <= qs, f"{cls}: missing {names - qs}"
