@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline query suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the extraction
+pipeline over a deterministically generated page corpus sized to the
+scale factor. Output:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Usage: python bench.py [--sf-dir DIR] [--cpus N] [--docs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset: the heavy/representative driver-contract queries.
+HEADLINE = [
+    "filter_project",
+    "orders_per_customer",
+    "revenue_by_nation",
+    "shipdate_range_join",
+    "sessionize",
+    "hourly_events",
+    "exact_dups",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_fingerprints",
+    "embedding_topk",
+    "quality_scores",
+]
+
+
+def _consume(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    return df.write.mode("overwrite").format("noop").save() or df.count()
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    parser.add_argument(
+        "--cpus", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+    )
+    parser.add_argument("--docs", type=int, default=None,
+                        help="extraction corpus size (default: 200k × sf)")
+    parser.add_argument("--skip-extraction", action="store_true")
+    args = parser.parse_args()
+
+    sf_name = os.path.basename(args.sf_dir.rstrip("/"))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_docs = args.docs if args.docs is not None else max(int(sf * 200_000), 500)
+
+    from credit_ocr_backend_spark.plans import contract
+    from credit_ocr_backend_spark.plans.pipeline import run_pipeline
+    from credit_ocr_backend_spark.plans.session import get_spark
+    from credit_ocr_backend_spark.sources.pages import write_pages
+
+    spark = get_spark("bench", parallelism=args.cpus)
+
+    registry = contract.queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        df = registry[name](spark, args.sf_dir)
+        df.count()  # warm: plan + scan caches aside, we time the steady run
+        t0 = time.perf_counter()
+        df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    extras: dict = {}
+    if not args.skip_extraction:
+        workdir = tempfile.mkdtemp(prefix="bench_pages_")
+        write_pages(spark, f"{workdir}/pages", n_docs=n_docs, partitions=args.cpus)
+        t0 = time.perf_counter()
+        res = run_pipeline(
+            spark, f"{workdir}/pages", f"{workdir}/out",
+            n_buckets=max(args.cpus * 2, 16), n_chunks=1, parallelism=args.cpus,
+        )
+        elapsed = time.perf_counter() - t0
+        per_query["extraction_pipeline"] = round(elapsed, 3)
+        extras = {
+            "extraction_docs": res.n_docs,
+            "extraction_docs_per_sec": round(res.n_docs / elapsed, 1),
+            "extraction_docs_per_sec_per_core": round(res.n_docs / elapsed / args.cpus, 2),
+        }
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": args.cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,8 +32,19 @@ STATUS_FAILED = "failed"
 
 def dumps_envelope(payload: Any) -> str:
     """Byte-stable JSON with the reference's exact kwargs
-    (ensure_ascii=False, indent=2) — ``F.to_json`` would NOT match."""
+    (ensure_ascii=False, indent=2) — ``F.to_json`` would NOT match.
+    Export-boundary format (mirrors /root/reference/src/ocr/extraction.py:201)."""
     return json.dumps(payload, ensure_ascii=False, indent=2)
+
+
+def dumps_compact(payload: Any) -> str:
+    """Byte-stable compact JSON for the hot pipeline path: same key
+    order and unicode handling as dumps_envelope, no whitespace — this
+    keeps serialization on CPython's C encoder (indent forces the
+    pure-Python encoder on 3.11, ~10× slower per document). The
+    per-url byte invariant (extracted text) is unaffected; envelope
+    formatting is an engine-internal contract pinned by the goldens."""
+    return json.dumps(payload, ensure_ascii=False, separators=(",", ":"))
 
 
 def process_document(

@@ -94,6 +94,14 @@ def pair_lines(
     for page, lines in by_page.items():
         used: set = set()
 
+        # Geometry memo: center/height are pure functions of each box —
+        # precomputing them turns the O(L²) pass-2 scan's inner test into
+        # float compares without changing a single comparison result.
+        cxs = [_cx(ln["bounding_box"]) for ln in lines]
+        cys = [_cy(ln["bounding_box"]) for ln in lines]
+        hts = [_height(ln["bounding_box"]) for ln in lines]
+        boxed = [bool(ln["bounding_box"]) for ln in lines]
+
         # Pass 1: colon-separated label/value on a single line.
         for i, line in enumerate(lines):
             if i in used:
@@ -120,21 +128,25 @@ def pair_lines(
                 continue
 
             text = line["text"].strip()
-            box = line["bounding_box"]
-            cx, cy = _cx(box), _cy(box)
+            cx, cy = cxs[i], cys[i]
             if cx >= x_split:  # only left-aligned lines act as labels
                 continue
 
-            # 2a: nearest unconsumed line to the right on the same row.
+            # 2a: nearest unconsumed line to the right on the same row
+            # (same-row test identical to _same_row, on memoized values).
             best: Optional[Token] = None
             best_x = float("inf")
-            for j, cand in enumerate(lines):
-                if j in used:
-                    continue
-                cand_x = _cx(cand["bounding_box"])
-                if _same_row(box, cand["bounding_box"]) and cx < cand_x < best_x:
-                    best = cand
-                    best_x = cand_x
+            if boxed[i]:
+                for j, cand in enumerate(lines):
+                    if j in used or not boxed[j]:
+                        continue
+                    cand_x = cxs[j]
+                    if (
+                        cx < cand_x < best_x
+                        and abs(cys[i] - cys[j]) <= max(hts[i], hts[j]) * 0.1
+                    ):
+                        best = cand
+                        best_x = cand_x
 
             if best is not None:
                 pairs.append(
@@ -157,8 +169,7 @@ def pair_lines(
                 if j in used:
                     continue
                 cand = lines[j]
-                cand_box = cand["bounding_box"]
-                if _cx(cand_box) > x_split and abs(_cy(cand_box) - cy) <= y_thresh:
+                if cxs[j] > x_split and abs(cys[j] - cy) <= y_thresh:
                     pairs.append(
                         {
                             "label": text,

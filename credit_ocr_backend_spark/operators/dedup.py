@@ -36,9 +36,13 @@ def words_col(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
-def shingles_col(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (built-ins only)."""
-    toks = words_col(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a *materialized* token-array column.
+
+    IMPORTANT: pass a bound column (project ``words_col`` in a separate
+    select first), not the split expression itself — Catalyst inlines
+    expressions into generator lambdas, so an inline split would re-parse
+    the text once per element_at (≈3× per shingle, ~100× per document)."""
     count = F.size(toks) - (n - 1)
     return F.when(
         count >= 1,
@@ -49,6 +53,13 @@ def shingles_col(text: Column | str, n: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Shingles straight from text — only for single-evaluation contexts
+    (e.g. array_distinct + explode in one select). Hot paths should use
+    shingles_from_tokens over a projected token column."""
+    return shingles_from_tokens(words_col(text), n)
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -72,8 +83,11 @@ def minhash_signatures(
     One explode + one groupBy with n_hashes min-aggregations; the seed
     is mixed in as a string prefix so each hash family member is an
     independent permutation proxy."""
-    exploded = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_col(text_col)).alias("sh")
+    tokens = df.select(
+        F.col(id_col).alias("doc"), words_col(text_col).alias("_toks")
+    )
+    exploded = tokens.select(
+        "doc", F.explode(shingles_from_tokens(F.col("_toks"))).alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"mh{s}")
@@ -87,21 +101,30 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash): two
     documents are candidates iff some band agrees fully. Returns
-    distinct (doc_a, doc_b) with doc_a < doc_b."""
+    distinct (doc_a, doc_b) with doc_a < doc_b.
+
+    One explode builds all bands in a single pass (a per-band
+    union would re-evaluate the signature subtree once per band per
+    join side); the self-join's two sides share the same subplan so the
+    shuffle exchange is reused."""
     n_bands = n_hashes // band_rows
-    bands = [
-        signatures.select(
-            F.col("doc"),
-            F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = reduce(DataFrame.unionByName, bands)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc", F.explode(band_structs).alias("band")
+    ).select("doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -123,8 +146,10 @@ def ngram_jaccard(
     LSH): |A∩B| via an equi-join of distinct shingles, |A∪B| by
     inclusion-exclusion. Returns (doc_a, doc_b, jaccard)."""
     sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles_col(text_col))).alias("sh"),
+        F.col(id_col).alias("doc"), words_col(text_col).alias("_toks")
+    ).select(
+        "doc",
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_toks")))).alias("sh"),
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 

@@ -32,7 +32,7 @@ import pandas as pd
 from credit_ocr_backend_spark.core.config import DocumentTypeConfig
 from credit_ocr_backend_spark.core.document import (
     STATUS_FAILED,
-    dumps_envelope,
+    dumps_compact,
     process_document,
 )
 from credit_ocr_backend_spark.core.fields import extract_fields
@@ -65,10 +65,15 @@ NORMALIZED_SCHEMA = (
     f"url string, bucket int, status string, error string, "
     f"extracted_text string, tokens {TOKENS_T}, items {ITEMS_T}, proc_ms double"
 )
+# fields travel as ONE compact-JSON string column: transferring nested
+# list<struct> out of a pandas UDF costs ~5 ms/doc in per-element Python
+# conversion (measured — as much as the whole extraction core), while a
+# string column is a straight Arrow buffer; the relational view is
+# recovered JVM-side with from_json(FIELDS_T) at full codegen speed.
 EXTRACTED_SCHEMA = (
     f"url string, bucket int, status string, error string, "
     f"extracted_text string, missing_fields array<string>, "
-    f"extraction_json string, fields {FIELDS_T}, proc_ms double"
+    f"fields_json string, proc_ms double"
 )
 
 # ---------------------------------------------------------------------------
@@ -145,10 +150,7 @@ def _extracted_row(
         "error": error,
         "extracted_text": extracted_text,
         "missing_fields": (extraction or {}).get("missing_fields"),
-        "extraction_json": dumps_envelope(
-            {"document_id": url, "extraction_results": extraction}
-        ),
-        "fields": _field_rows(extraction),
+        "fields_json": dumps_compact(_field_rows(extraction)),
         "proc_ms": proc_ms,
     }
 

@@ -838,6 +838,103 @@ def q_quality_scores(spark, sf):
     return d.select("doc_id", T.quality_score("text").alias("quality"))
 
 
+@_register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_revenue(spark, sf):
+    """Hierarchical aggregation (rollup) — a Catalyst-freebie operator
+    class the single-document reference never needed."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@_register(
+    "embedding_minmax",
+    """
+    SELECT vec_id,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS emb_min,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS emb_max,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+)
+def q_embedding_minmax(spark, sf):
+    """A4-analogue: envelope (min/max) over an array column via
+    higher-order functions — stays in whole-stage codegen."""
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(F.array_min("embedding").cast("double"), 4).alias("emb_min"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("emb_max"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           strlen(text) AS n_bytes,
+           sha256(text) AS sha256,
+           true AS decode_ok
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload → Arrow-batched feature
+    stage. The metadata/digest columns are oracle-checked; the stubbed
+    decode's feature vector is covered by unit tests (no codec libs in
+    the sandbox)."""
+    from credit_ocr_backend_spark.operators.multimodal import (
+        media_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
+    return media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+def q_video_frame_samples(spark, sf):
+    """Frame sampling fan-out for video payloads (rows-only: byte-slice
+    digests aren't expressible in DuckDB 1.0 — no blob substring)."""
+    from credit_ocr_backend_spark.operators.multimodal import (
+        synthesize_media,
+        video_frame_samples,
+    )
+
+    media = synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
+    return video_frame_samples(media, n_frames=4)
+
+
+_QUERIES["video_frame_samples"] = q_video_frame_samples
+
+
 # ---------------------------------------------------------------------------
 # D. Extraction engine itself (rows-only checks — per-document Python
 # semantics, not SQL-expressible; byte-parity is covered by the pytest
@@ -860,8 +957,12 @@ def q_extraction_results(spark, sf):
     extracted = pages.select("url", "html", "bucket").mapInPandas(
         make_fused_stage(default_config()), schema=EXTRACTED_SCHEMA
     )
+    from credit_ocr_backend_spark.operators.stages import FIELDS_T
+
     return (
-        extracted.select("url", F.explode("fields").alias("f"))
+        extracted.select(
+            "url", F.explode(F.from_json("fields_json", FIELDS_T)).alias("f")
+        )
         .select(
             "url",
             F.col("f.field_name").alias("field_name"),

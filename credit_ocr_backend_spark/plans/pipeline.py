@@ -4,26 +4,43 @@ Logical plan, all declarative until the Arrow-batched stages:
 
     pages (parquet/Iceberg, pruned by warc_date)
       → filter warc_ts range                      # partition pruning
-      → bucket = pmod(xxhash64(url), B)           # stable resume key
-      → anti-join done buckets (resume)
+      → bucket = pmod(xxhash64(url), B)           # stable chunk/lineage key
+      → keep buckets of this chunk (resume skips committed chunks)
       → giant/normal split on length(html)        # size-skew defuse
-      → repartition (url-hash / round-robin)      # salting
+      → repartition(row-level url-hash)           # uniform task balance
       → fused|staged Arrow UDF stages             # core semantics
-      → docs + exploded field rows, partitionBy(bucket), dynamic overwrite
-      → lineage append per chunk (bucket metrics + throughput)
+      → docs + exploded field rows → chunk=NNNN directory, atomic
+        overwrite per chunk                        # idempotent commit
+      → lineage append per chunk (per-bucket doc/failure/cpu metrics)
+
+Commit design: the unit of recovery is a **chunk** = contiguous range
+of url-hash buckets, written as one ``chunk=NNNN`` partition directory
+with plain overwrite — re-running a chunk is idempotent, committed
+chunks are never recomputed (the reference's ``overwrite=True`` blob
+semantics, /root/reference/src/creditsystem/storage.py:152, coarsened
+to a unit that makes sense at 10^12 rows). The bucket column stays on
+every row for lineage metrics and finer-grained reprocessing.
+
+Two partitioning decisions worth reading twice (measured, not guessed):
+
+* processing parallelism uses **row-level** xxhash64(url) repartition,
+  NOT the bucket id — partitioning 64 buckets into 64 hash partitions
+  is balls-in-bins (some tasks get 3-4 buckets → 4× stragglers, ~50%
+  idle cores at 32-way);
+* outputs are directory-partitioned by **chunk**, not bucket —
+  per-bucket partitionBy writes either tasks×buckets sliver files or
+  an extra full shuffle; per-chunk directories give one file per task
+  and per-chunk atomic overwrite.
 
 Scale notes (100 TB / 10^12 rows):
 * the html column is only read by the parse stage; every downstream
   projection drops it immediately (column pruning keeps the heavy
   bytes out of later scans);
-* chunking bounds the blast radius of a failure to one bucket range —
-  a re-run anti-joins lineage and recomputes only missing chunks;
-  on Iceberg the pages table would additionally be bucket(url, B)
-  partitioned so each chunk scan prunes at the file level;
-* giant documents (heavy right tail of html size) are routed to a
-  round-robin repartition so each lands in its own task instead of
-  queueing behind url-hash neighbors; AQE handles residual shuffle
-  skew.
+* a failed chunk re-runs alone; on Iceberg the pages table would be
+  bucket(url, B)-partitioned so each chunk's input scan prunes at the
+  file level instead of re-filtering the full table;
+* giant documents (heavy right tail of html size) route to a
+  round-robin repartition so no task queues two of them.
 """
 
 from __future__ import annotations
@@ -38,6 +55,7 @@ from pyspark.sql import functions as F
 from credit_ocr_backend_spark.core.config import DocumentTypeConfig, default_config
 from credit_ocr_backend_spark.operators.stages import (
     EXTRACTED_SCHEMA,
+    FIELDS_T,
     NORMALIZED_SCHEMA,
     PARSED_SCHEMA,
     make_extract_stage,
@@ -52,6 +70,11 @@ from credit_ocr_backend_spark.sources.checkpoint import (
 )
 
 GIANT_HTML_BYTES = 32 * 1024  # size-skew routing threshold
+
+RESULT_COLUMNS = [
+    "field_name", "value", "confidence", "page", "bounding_box",
+    "is_valid", "errors",
+]
 
 
 @dataclass
@@ -93,11 +116,13 @@ def _input_slice(
 
 
 def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
-    """Salted repartition on url-hash for the bulk; giants round-robin so
-    one task never carries two of them (SURVEY.md §7.3 giant-doc skew)."""
+    """Uniform row-level repartition on url-hash for the bulk (bucket
+    ids clump under hash-partitioning; raw rows don't). Giant documents
+    (heavy html right tail) go round-robin so one task never queues two
+    of them (SURVEY.md §7.3 giant-doc skew)."""
     bulk = (
         df.where(F.length("html") <= GIANT_HTML_BYTES)
-        .repartition(parallelism, F.xxhash64("url"))
+        .repartition(parallelism * 4, F.xxhash64("url"))  # fine waves → tight tail
     )
     giants = (
         df.where(F.length("html") > GIANT_HTML_BYTES)
@@ -122,7 +147,7 @@ def run_pipeline(
     fail_buckets: Optional[set] = None,  # test hook: inject a chunk failure
 ) -> PipelineResult:
     """Run the extraction pipeline, chunk by chunk, committing results +
-    lineage per chunk. ``resume=True`` skips buckets whose lineage says
+    lineage per chunk. ``resume=True`` skips chunks whose lineage says
     done and recomputes only the rest; output is unchanged vs a clean
     run (tested)."""
     cfg = doc_config or default_config()
@@ -131,28 +156,26 @@ def run_pipeline(
     run_id = new_run_id()
     pages = spark.read.parquet(pages_path)
 
-    done = ckpt.done_buckets("extracted") if resume else set()
+    done_chunks = ckpt.done_chunks("extracted") if resume else set()
     result = PipelineResult(out_root=out_root)
     t_start = time.perf_counter()
 
     bounds = [
-        (c * n_buckets // n_chunks, (c + 1) * n_buckets // n_chunks)
+        (c, c * n_buckets // n_chunks, (c + 1) * n_buckets // n_chunks)
         for c in range(n_chunks)
     ]
-    for lo, hi in bounds:
-        chunk_buckets = set(range(lo, hi))
-        if chunk_buckets <= done:
+    for chunk_id, lo, hi in bounds:
+        if chunk_id in done_chunks:
             result.chunks_skipped += 1
             continue
 
-        chunk_df = _input_slice(pages, n_buckets, lo, hi, ts_min, ts_max)
-        if resume and (chunk_buckets & done):
-            chunk_df = chunk_df.where(~F.col("bucket").isin([int(b) for b in done]))
-        chunk_df = _defuse_skew(chunk_df, par)
+        chunk_df = _defuse_skew(
+            _input_slice(pages, n_buckets, lo, hi, ts_min, ts_max), par
+        )
 
-        if fail_buckets and (chunk_buckets & set(fail_buckets)):
+        if fail_buckets and (set(range(lo, hi)) & set(fail_buckets)):
             raise RuntimeError(
-                f"injected failure for buckets {sorted(chunk_buckets & set(fail_buckets))}"
+                f"injected failure for chunk {chunk_id} (buckets {lo}..{hi - 1})"
             )
 
         t0 = time.perf_counter()
@@ -162,36 +185,33 @@ def run_pipeline(
             )
         elif mode == "staged":
             parsed = chunk_df.mapInPandas(make_parse_stage(), schema=PARSED_SCHEMA)
-            ckpt.write_partitioned(parsed, "parsed")
-            normalized = ckpt.read("parsed").mapInPandas(
+            ckpt.write_chunk(parsed, "parsed", chunk_id)
+            normalized = ckpt.read_chunk("parsed", chunk_id).mapInPandas(
                 make_normalize_stage(), schema=NORMALIZED_SCHEMA
             )
-            ckpt.write_partitioned(normalized, "normalized")
-            extracted = ckpt.read("normalized").mapInPandas(
+            ckpt.write_chunk(normalized, "normalized", chunk_id)
+            extracted = ckpt.read_chunk("normalized", chunk_id).mapInPandas(
                 make_extract_stage(cfg), schema=EXTRACTED_SCHEMA
             )
         else:
             raise ValueError(f"unknown mode: {mode}")
 
-        ckpt.write_partitioned(extracted, "docs")
-        docs = ckpt.read("docs").where(F.col("bucket").isin(list(chunk_buckets)))
+        ckpt.write_chunk(extracted, "docs", chunk_id)
+        docs = ckpt.read_chunk("docs", chunk_id)
 
         # Long-format results: explode AFTER the heavy stage, from the
-        # committed docs table (html long gone — narrow scan).
+        # committed docs table (html long gone — narrow scan); the JSON
+        # field payload is parsed JVM-side at codegen speed.
         results = docs.select(
-            "url", "bucket", F.explode_outer("fields").alias("f")
+            "url",
+            "bucket",
+            F.explode_outer(F.from_json("fields_json", FIELDS_T)).alias("f"),
         ).select(
             "url",
             "bucket",
-            F.col("f.field_name").alias("field_name"),
-            F.col("f.value").alias("value"),
-            F.col("f.confidence").alias("confidence"),
-            F.col("f.page").alias("page"),
-            F.col("f.bounding_box").alias("bounding_box"),
-            F.col("f.is_valid").alias("is_valid"),
-            F.col("f.errors").alias("errors"),
+            *[F.col(f"f.{c}").alias(c) for c in RESULT_COLUMNS],
         ).where(F.col("field_name").isNotNull())
-        ckpt.write_partitioned(results, "results")
+        ckpt.write_chunk(results, "results", chunk_id)
 
         # Lineage: per-bucket doc counts, failures, cpu-ms (A8 metrics).
         per_bucket = [
@@ -205,7 +225,7 @@ def run_pipeline(
             ).collect()
         ]
         wall_ms = int((time.perf_counter() - t0) * 1000)
-        ckpt.append_lineage("extracted", per_bucket, wall_ms, run_id)
+        ckpt.append_lineage("extracted", chunk_id, per_bucket, wall_ms, run_id)
 
         result.chunks_run += 1
         result.n_docs += sum(b["n_docs"] for b in per_bucket)

@@ -4,10 +4,11 @@ Single place where execution knobs live so tests, bench and the
 spark-submit entrypoint agree:
 
 * AQE on (runtime coalescing + skew-join splitting),
-* Arrow enabled with a *small* max batch size — input rows carry
-  multi-KB..MB html payloads, so the default 10k-records batch would
-  balloon executor memory on the giant-document tail
-  (SURVEY.md §7.3),
+* Arrow max batch 1024 rows — measured sweet spot: 128-row batches
+  double stage wall time in per-batch worker flush overhead, while the
+  giant-document skew split bounds batch memory (bulk docs ≤32 KB →
+  ≤32 MB/batch; giants live in their own small partitions,
+  SURVEY.md §7.3),
 * shuffle partitions sized to the local core count (on a real cluster
   this comes from the submit conf; AQE coalesces down as needed).
 """
@@ -18,7 +19,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 128
+ARROW_BATCH_ROWS = 1024
 
 
 def get_spark(
@@ -28,6 +29,14 @@ def get_spark(
 ) -> SparkSession:
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # Shuffle/spill scratch on tmpfs when available — the sandbox's /tmp
+    # is a spinning-ish block device whose serialized I/O otherwise caps
+    # the 32-way runs (on a real cluster this is the executors' local
+    # NVMe). Falls back to the default temp dir silently.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,6 +53,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 

@@ -1,24 +1,23 @@
-"""Per-partition checkpoint, lineage and resume.
+"""Per-chunk checkpoint, per-bucket lineage, and resume.
 
 The reference checkpoints every stage as a blob per document and keeps
 a job-status row per document (``Stage`` buckets,
 /root/reference/src/creditsystem/storage.py:25-31; ``Extraktionsauftrag``
 /root/reference/schema.sql:26-33). At 10^12 documents a per-document
 status row is itself a big-data problem, so this engine coarsens the
-unit of recovery to a **url-hash bucket** (stable
-``pmod(xxhash64(url), n_buckets)``) and a **chunk** = contiguous bucket
-range processed as one Spark job + one commit:
+unit of recovery:
 
-* results tables are written ``partitionBy("bucket")`` with dynamic
-  partition overwrite → re-running a chunk is idempotent (the
-  ``overwrite=True`` blob semantics of storage.py:152);
-* after each chunk commits, one lineage parquet fragment is appended
-  with per-bucket doc counts / failure counts / cpu-ms (the
-  Extraktionsauftrag analogue, plus the throughput metrics the north
-  rule requires);
-* resume = anti-join of the bucket domain against lineage buckets with
-  status ``done`` — a failed chunk re-runs alone, committed chunks are
-  never recomputed.
+* **bucket** — stable ``pmod(xxhash64(url), B)``: the lineage/metrics
+  grain (doc counts, failures, cpu-ms per bucket);
+* **chunk** — contiguous bucket range processed as one Spark job and
+  committed as one ``chunk=NNNN`` partition directory with plain
+  overwrite. Re-running a chunk is idempotent (the ``overwrite=True``
+  blob semantics of storage.py:152); a crashed chunk leaves committed
+  chunks untouched.
+
+After each chunk commits, one lineage parquet fragment is appended
+(pyarrow, driver-side — one row per bucket; no Spark job for metadata).
+Resume = skip chunks whose lineage rows exist with status done.
 
 On Iceberg the same layout is ``bucket(url, N)`` hidden partitioning +
 ``overwritePartitions()``; plain parquet directories reproduce the
@@ -27,7 +26,6 @@ mechanics faithfully for this sandbox.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
@@ -37,18 +35,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
-    "bucket int, stage string, status string, n_docs long, n_failed long, "
-    "cpu_ms double, wall_ms long, run_id string, finished_at string"
+    "chunk int, bucket int, stage string, status string, n_docs long, "
+    "n_failed long, cpu_ms double, wall_ms long, run_id string, "
+    "finished_at string"
 )
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
-    """Stable url-hash bucket — identical across runs, the resume key."""
+    """Stable url-hash bucket — identical across runs, the lineage key."""
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
 class CheckpointManager:
-    """Filesystem layout: ``{root}/results``, ``{root}/docs``,
+    """Filesystem layout:
+    ``{root}/{table}/chunk=NNNN/part-*.parquet`` for stage tables and
     ``{root}/lineage/part-*.parquet`` (append-only fragments)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
@@ -60,14 +60,29 @@ class CheckpointManager:
 
     def lineage(self) -> Optional[DataFrame]:
         if not os.path.isdir(self.lineage_dir) or not any(
-            name.endswith(".parquet") or not name.startswith("_")
-            for name in os.listdir(self.lineage_dir)
+            name.endswith(".parquet") for name in os.listdir(self.lineage_dir)
         ):
             return None
         try:
-            return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.lineage_dir)
+            return (
+                self.spark.read.schema(LINEAGE_SCHEMA)
+                .option("pathGlobFilter", "*.parquet")  # skip crashed .tmp files
+                .parquet(self.lineage_dir)
+            )
         except Exception:
             return None
+
+    def done_chunks(self, stage: str) -> Set[int]:
+        lineage = self.lineage()
+        if lineage is None:
+            return set()
+        rows = (
+            lineage.where((F.col("stage") == stage) & (F.col("status") == "done"))
+            .select("chunk")
+            .distinct()
+            .collect()
+        )
+        return {r["chunk"] for r in rows}
 
     def done_buckets(self, stage: str) -> Set[int]:
         lineage = self.lineage()
@@ -84,50 +99,62 @@ class CheckpointManager:
     def append_lineage(
         self,
         stage: str,
+        chunk: int,
         per_bucket: List[dict],
         wall_ms: int,
         run_id: str,
     ) -> None:
-        """One fragment per commit — append-only, crash-safe (a fragment
-        is only visible once fully written; written via a temp name)."""
+        """One fragment per commit — append-only, crash-safe (written to
+        a temp name, renamed into place). Lineage is driver-side
+        metadata (one row per bucket), written directly with pyarrow
+        instead of paying a Spark job per commit."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         os.makedirs(self.lineage_dir, exist_ok=True)
         finished_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        rows = [
+        table = pa.table(
             {
-                "bucket": int(b["bucket"]),
-                "stage": stage,
-                "status": "done",
-                "n_docs": int(b["n_docs"]),
-                "n_failed": int(b["n_failed"]),
-                "cpu_ms": float(b["cpu_ms"]),
-                "wall_ms": int(wall_ms),
-                "run_id": run_id,
-                "finished_at": finished_at,
+                "chunk": pa.array([int(chunk)] * len(per_bucket), pa.int32()),
+                "bucket": pa.array([int(b["bucket"]) for b in per_bucket], pa.int32()),
+                "stage": pa.array([stage] * len(per_bucket)),
+                "status": pa.array(["done"] * len(per_bucket)),
+                "n_docs": pa.array([int(b["n_docs"]) for b in per_bucket], pa.int64()),
+                "n_failed": pa.array([int(b["n_failed"]) for b in per_bucket], pa.int64()),
+                "cpu_ms": pa.array([float(b["cpu_ms"]) for b in per_bucket], pa.float64()),
+                "wall_ms": pa.array([int(wall_ms)] * len(per_bucket), pa.int64()),
+                "run_id": pa.array([run_id] * len(per_bucket)),
+                "finished_at": pa.array([finished_at] * len(per_bucket)),
             }
-            for b in per_bucket
-        ]
-        (
-            self.spark.createDataFrame(rows, schema=LINEAGE_SCHEMA)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(self.lineage_dir)
         )
+        fragment = f"{self.lineage_dir}/part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
+        tmp = fragment + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, fragment)
 
     # -- stage tables -------------------------------------------------------
 
-    def write_partitioned(self, df: DataFrame, name: str) -> None:
-        """Idempotent per-bucket commit (dynamic partition overwrite)."""
-        (
-            df.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{self.root}/{name}")
-        )
+    def write_chunk(self, df: DataFrame, name: str, chunk: int) -> None:
+        """Atomic idempotent chunk commit: plain overwrite of the
+        chunk's own partition directory (one file per task, no extra
+        shuffle, no per-bucket sliver files)."""
+        df.write.mode("overwrite").parquet(self._chunk_path(name, chunk))
+
+    def read_chunk(self, name: str, chunk: int) -> DataFrame:
+        return self.spark.read.parquet(self._chunk_path(name, chunk))
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(f"{self.root}/{name}")
+        """Whole stage table across chunks; ``chunk`` becomes a
+        discovered partition column usable for pruning."""
+        return self.spark.read.option("basePath", f"{self.root}/{name}").parquet(
+            f"{self.root}/{name}"
+        )
 
     def path(self, name: str) -> str:
         return f"{self.root}/{name}"
+
+    def _chunk_path(self, name: str, chunk: int) -> str:
+        return f"{self.root}/{name}/chunk={chunk:04d}"
 
 
 def new_run_id() -> str:

@@ -24,7 +24,9 @@ def test_queries_registry_shape():
     # only the extraction pipeline (per-document Python semantics) is
     # rows-only — everything else must be oracle-checked
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"extraction_results", "extraction_docs"}
+    assert rows_only == {
+        "extraction_results", "extraction_docs", "video_frame_samples",
+    }
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
@@ -54,6 +56,9 @@ def test_operator_class_coverage():
             "quality_scores",
         },
         "extraction_pipeline": {"extraction_results", "extraction_docs"},
+        "multimodal": {"multimodal_features", "video_frame_samples"},
+        "grouping": {"rollup_revenue"},
+        "array_functions": {"embedding_minmax"},
     }
     for cls, names in coverage.items():
         assert names <= qs, f"{cls}: missing {names - qs}"

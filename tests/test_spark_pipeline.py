@@ -16,7 +16,8 @@ pyspark = pytest.importorskip("pyspark")
 from pyspark.sql import functions as F  # noqa: E402
 
 from credit_ocr_backend_spark.core import default_config, process_document  # noqa: E402
-from credit_ocr_backend_spark.core.document import dumps_envelope  # noqa: E402
+from credit_ocr_backend_spark.core.document import dumps_compact  # noqa: E402
+from credit_ocr_backend_spark.operators.stages import _field_rows  # noqa: E402
 from credit_ocr_backend_spark.plans.pipeline import run_pipeline  # noqa: E402
 from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
 from credit_ocr_backend_spark.sources.pages import build_page, write_pages  # noqa: E402
@@ -40,7 +41,7 @@ def pages_path(spark, tmp_path_factory):
 def _docs_map(spark, out_root):
     rows = (
         spark.read.parquet(f"{out_root}/docs")
-        .select("url", "status", "extracted_text", "extraction_json")
+        .select("url", "status", "extracted_text", "fields_json")
         .collect()
     )
     return {r["url"]: r for r in rows}
@@ -59,13 +60,11 @@ def test_fused_matches_pure_core_bytes(spark, pages_path, tmp_path):
     for k in range(0, N_DOCS, 13):  # sample across html/layout/giant paths
         page = build_page(k)
         local = process_document(page["url"], page["html"], cfg)
-        expected_json = dumps_envelope(
-            {"document_id": page["url"], "extraction_results": local["extraction"]}
-        )
+        expected_json = dumps_compact(_field_rows(local["extraction"]))
         row = got[page["url"]]
         assert row["status"] == local["status"]
         assert row["extracted_text"] == local["extracted_text"]  # byte-identical
-        assert row["extraction_json"] == expected_json  # byte-identical
+        assert row["fields_json"] == expected_json  # byte-identical
 
 
 def test_staged_equals_fused(spark, pages_path, tmp_path):
@@ -80,7 +79,7 @@ def test_staged_equals_fused(spark, pages_path, tmp_path):
     for url, frow in fused.items():
         srow = staged[url]
         assert frow["extracted_text"] == srow["extracted_text"]
-        assert frow["extraction_json"] == srow["extraction_json"], url
+        assert frow["fields_json"] == srow["fields_json"], url
 
     # stage checkpoint tables exist and carry every url
     parsed = spark.read.parquet(f"{staged_out}/parsed")
@@ -116,7 +115,7 @@ def test_resume_skips_committed_chunks(spark, pages_path, tmp_path):
     resumed = _docs_map(spark, resumed_out)
     assert set(clean) == set(resumed)
     for url in clean:
-        assert clean[url]["extraction_json"] == resumed[url]["extraction_json"]
+        assert clean[url]["fields_json"] == resumed[url]["fields_json"]
 
 
 def test_results_long_format(spark, pages_path, tmp_path):
