@@ -139,6 +139,37 @@ def validate_extracted_fields(
     }
 
 
+# Per-config derived tables, memoized by config identity: normalized
+# alias list (declaration order preserved) and field→lowercased-aliases
+# reverse map. Pure caches of pure functions — no behavior change.
+_CONFIG_CACHE: Dict[int, Dict[str, Any]] = {}
+
+
+def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
+    key = id(doc_config)
+    cached = _CONFIG_CACHE.get(key)
+    if cached is None or cached["config"] is not doc_config:
+        expected = set(doc_config.expected_fields)
+        cached = {
+            "config": doc_config,
+            "norm_aliases": [
+                (normalize_label(alias), eng)
+                for alias, eng in doc_config.field_mappings.items()
+            ],
+            "expected_set": expected,
+            "aliases_by_field": {
+                eng: [
+                    a.lower()
+                    for a, e in doc_config.field_mappings.items()
+                    if e == eng
+                ]
+                for eng in set(doc_config.field_mappings.values())
+            },
+        }
+        _CONFIG_CACHE[key] = cached
+    return cached
+
+
 def map_items_to_fields(
     items: List[Dict[str, Any]], doc_config: DocumentTypeConfig
 ) -> Dict[str, Any]:
@@ -155,14 +186,18 @@ def map_items_to_fields(
     Returns the same envelope shape the LLM would
     ({"extracted_fields": {name: value}, "missing_fields": [...]}).
     """
+    tables = _config_tables(doc_config)
+    norm_aliases = tables["norm_aliases"]
+    expected_set = tables["expected_set"]
+
     found: Dict[str, Any] = {}
     for item in items:
         if item.get("type") != "label_value":
             continue
         item_label = normalize_label(item["label"])
-        for alias, eng_name in doc_config.field_mappings.items():
-            if normalize_label(alias) in item_label:
-                if eng_name in doc_config.expected_fields and eng_name not in found:
+        for norm_alias, eng_name in norm_aliases:
+            if norm_alias in item_label:
+                if eng_name in expected_set and eng_name not in found:
                     found[eng_name] = item["value"]
                 break
 
@@ -209,11 +244,7 @@ def extract_fields(
             continue
 
         value_str = str(field_data["value"]).lower()
-        aliases = [
-            alias.lower()
-            for alias, eng in doc_config.field_mappings.items()
-            if eng == field_name
-        ]
+        aliases = _config_tables(doc_config)["aliases_by_field"].get(field_name, [])
 
         # (a) label_value evidence
         pair = None

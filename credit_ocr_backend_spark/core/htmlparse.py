@@ -206,7 +206,12 @@ def _assemble_tokens(
     for text, page, box in lines:
         lines_by_page.setdefault(page, []).append((text, box))
 
-    # (centroid_x, centroid_y, confidence) per word, grouped by page.
+    from bisect import bisect_left, bisect_right
+
+    # (centroid_y, centroid_x, confidence) per word, grouped by page and
+    # sorted by y so each line's containment test bisects to its y-band
+    # instead of scanning every word on the page (same comparisons, same
+    # results — pure index acceleration).
     words_by_page: Dict[int, List[Token]] = {}
     centroids_by_page: Dict[int, List[Tuple[float, float, Optional[float]]]] = {}
     for w in words:
@@ -215,23 +220,28 @@ def _assemble_tokens(
         if wb:
             centroids_by_page.setdefault(w["page"], []).append(
                 (
-                    sum(p["x"] for p in wb) / len(wb),
                     sum(p["y"] for p in wb) / len(wb),
+                    sum(p["x"] for p in wb) / len(wb),
                     w["confidence"],
                 )
             )
+    for page_centroids in centroids_by_page.values():
+        page_centroids.sort(key=lambda t: t[0])
 
     tokens: List[Token] = []
     for page in sorted(set(lines_by_page) | set(words_by_page)):
         centroids = centroids_by_page.get(page, [])
+        ykeys = [t[0] for t in centroids]
         for text, box in lines_by_page.get(page, []):
             xs = [p["x"] for p in box]
             ys = [p["y"] for p in box]
             min_x, max_x, min_y, max_y = min(xs), max(xs), min(ys), max(ys)
+            lo = bisect_left(ykeys, min_y)
+            hi = bisect_right(ykeys, max_y)
             confs = [
                 c
-                for (wcx, wcy, c) in centroids
-                if c is not None and min_x <= wcx <= max_x and min_y <= wcy <= max_y
+                for (_wcy, wcx, c) in centroids[lo:hi]
+                if c is not None and min_x <= wcx <= max_x
             ]
             tokens.append(
                 {

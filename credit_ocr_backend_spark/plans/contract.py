@@ -839,6 +839,78 @@ def q_quality_scores(spark, sf):
 
 
 @_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) /
+                 count(*), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-style multi-aggregate pricing summary (partial+final agg
+    surface; decimal sums keep it order-free)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(9,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_disc"),
+        )
+    )
+
+
+def _duck_lsh_bucket(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
+    plane_terms = []
+    for p in range(n_planes):
+        sign = (
+            f"(CASE WHEN CAST('0x' || substr(md5('p{p}_' || i), 1, 4) AS BIGINT) "
+            f"% 2 = 0 THEN 1 ELSE -1 END)"
+        )
+        proj = f"list_sum(list_transform(range(0, {dim}), i -> qv[i + 1] * {sign}))"
+        plane_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    return f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
+    )
+    SELECT bucket, count(*) AS n FROM (
+      SELECT vec_id, {bucket} AS bucket FROM q
+    ) GROUP BY bucket
+    """
+
+
+@_register("lsh_bucket_histogram", _duck_lsh_bucket())
+def q_lsh_bucket_histogram(spark, sf):
+    """ANN scale path: sign-random-projection bucket assignment
+    (md5-derived hyperplanes), verified value-for-value against the SQL
+    mirror — at 10^12 rows the table is clustered by this bucket and a
+    query reads ~n/2^planes rows."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select(SIM.lsh_bucket("embedding").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
     "rollup_revenue",
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -39,7 +39,9 @@ def test_operator_class_coverage():
     coverage = {
         "filters_projections": {"filter_project", "colon_split"},
         "joins": {"orders_per_customer", "revenue_by_nation", "shipdate_range_join"},
-        "aggregations": {"lang_counts", "latest_order_per_customer"},
+        "aggregations": {
+            "lang_counts", "latest_order_per_customer", "pricing_summary",
+        },
         "windows_sorts_limits": {"next_event_asof", "top5_newest_orders", "sessionize"},
         "set_ops": {"union_tagged", "missing_langs"},
         "scalar_functions": {
@@ -50,7 +52,9 @@ def test_operator_class_coverage():
             "exact_dups", "minhash_signatures", "lsh_candidate_pairs",
             "ngram_jaccard_fixed_pairs", "simhash_fingerprints",
         },
-        "similarity": {"embedding_topk", "embedding_block_maxcos"},
+        "similarity": {
+            "embedding_topk", "embedding_block_maxcos", "lsh_bucket_histogram",
+        },
         "text_analysis": {
             "token_counts", "lang_id_confusion", "doc_fingerprints",
             "quality_scores",
