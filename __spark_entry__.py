@@ -13,11 +13,18 @@ Implementations live in credit_ocr_backend_spark.plans.contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from credit_ocr_backend_spark.plans import contract
+# Import-location safety: the engine package lives next to this file.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from credit_ocr_backend_spark.plans import contract  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 

@@ -1,0 +1,137 @@
+"""Unit tests for the corpus-level operators (dedup / similarity /
+textstats) on tiny known inputs — value-level assertions independent of
+the DuckDB oracle harness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from credit_ocr_backend_spark.operators import dedup as D  # noqa: E402
+from credit_ocr_backend_spark.operators import similarity as SIM  # noqa: E402
+from credit_ocr_backend_spark.operators import textstats as T  # noqa: E402
+from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("operator-tests", parallelism=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (3, "völlig anderer deutscher text und das ist gut"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    dups = {r["content_hash"]: r for r in D.exact_duplicates(docs, "doc_id", "text").collect()}
+    h = hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert dups[h]["n_dups"] == 2
+    assert dups[h]["canonical_id"] == 0
+    assert len(dups) == 4  # 5 docs, one pair collapsed
+
+
+def test_shingles_semantics(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    out = df.select(
+        D.shingles_from_tokens(D.words_col("text")).alias("sh")
+    ).collect()[0]["sh"]
+    assert list(out) == ["a b c", "b c d"]
+    # shorter than n → empty
+    tiny = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert list(tiny.select(D.shingles_col("text").alias("s")).collect()[0]["s"]) == []
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sigs = {r["doc"]: r for r in D.minhash_signatures(docs, "doc_id", "text").collect()}
+    for s in range(D.N_MINHASHES):
+        assert sigs[0][f"mh{s}"] == sigs[1][f"mh{s}"]
+    # near-dup shares SOME minhashes with the original, not all
+    shared = sum(sigs[0][f"mh{s}"] == sigs[2][f"mh{s}"] for s in range(D.N_MINHASHES))
+    assert 0 < shared < D.N_MINHASHES
+
+
+def test_lsh_finds_exact_pair(docs):
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+         for r in D.ngram_jaccard(docs, pairs, "doc_id", "text").collect()}
+    assert j[(0, 1)] == 1.0      # identical docs
+    assert j[(0, 3)] == 0.0      # disjoint shingles
+
+
+def test_simhash_deterministic_and_discriminative(docs):
+    fp = {r["doc"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    assert fp[0] == fp[1]
+    assert 0 <= fp[0] < (1 << D.SIMHASH_BITS)
+    # hamming distance between near-dups smaller than to unrelated text
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(fp[0], fp[2]) <= ham(fp[0], fp[3])
+
+
+def test_cosine_topk_and_quantization(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),   # most similar to 0
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [-1.0, 0.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    top = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+    rows = {r["rnk"]: r for r in top.collect()}
+    assert rows[1]["vec_id"] == 0 and rows[1]["cos_sim"] == 1.0
+    assert rows[2]["vec_id"] == 1
+    assert rows[3]["vec_id"] == 2 and rows[3]["cos_sim"] == 0.0
+
+    # quantization: floor(x*1000 + 0.5)
+    q = emb.where(F.col("vec_id") == 1).select(SIM.quantize("embedding").alias("q")).collect()[0]["q"]
+    assert list(q) == [900, 100, 0]
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.5] * 8), (1, [0.5] * 8), (2, [-0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", SIM.lsh_bucket("embedding", n_planes=4).alias("b")).collect()}
+    assert buckets[0] == buckets[1]          # identical vectors, same bucket
+    assert 0 <= buckets[0] < 16
+    assert buckets[2] == buckets[0] ^ 0b1111  # negated vector flips every plane
+
+
+def test_textstats_values(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog, in a house."),
+         (1, "der hund und die katze und das haus")],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in T.document_stats(df, "doc_id", "text").collect()}
+    assert stats[0]["pred_lang"] == "en"
+    assert stats[1]["pred_lang"] == "de"
+    assert stats[0]["n_tokens"] == 8
+    # BPE-ish: 8 words + comma + period = 10
+    assert stats[0]["n_bpe_tokens"] == 10
+    assert stats[1]["fp"] == hashlib.md5(
+        b"der hund und die katze und das haus").hexdigest()
+    assert 0.0 <= stats[0]["quality"] <= 1.0
