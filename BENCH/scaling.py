@@ -67,6 +67,23 @@ def _burn(_):
     return x
 
 
+_CAL_TEXT = "Finanzierung Antrag Unterlagen Objekt Prüfung Bank Kredit " * 200
+
+
+def _burn_string(_):
+    """Engine-like memory traffic (string split + hash) — scales worse
+    than the ALU loop on shared hosts; the tighter ceiling."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 3.0:
+        toks = _CAL_TEXT.lower().split()
+        hashlib.md5(" ".join(toks[:50]).encode()).hexdigest()
+        n += 1
+    return n
+
+
 def hardware_calibration(levels: list[int]) -> dict[int, float]:
     """Aggregate pure-Python throughput of N busy processes — measures
     what the *machine* gives N-way CPU-bound Python (shared-vCPU
@@ -74,12 +91,13 @@ def hardware_calibration(levels: list[int]) -> dict[int, float]:
     Returns {parallelism: M iterations/sec}."""
     import multiprocessing as mp
 
-    burn = _burn
     out = {}
     for n in levels:
         with mp.Pool(n) as pool:
-            total = sum(pool.map(burn, range(n)))
-        out[n] = total / 3.0 / 1e6
+            alu = sum(pool.map(_burn, range(n)))
+        with mp.Pool(n) as pool:
+            stringy = sum(pool.map(_burn_string, range(n)))
+        out[n] = {"alu": alu / 3.0 / 1e6, "string": stringy / 3.0}
     return out
 
 
@@ -145,7 +163,8 @@ def main() -> int:
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     ideal = hi["parallelism"] / lo["parallelism"]
     efficiency = speedup / ideal
-    hw_speedup = hw[hi["parallelism"]] / hw[lo["parallelism"]]
+    hw_speedup = hw[hi["parallelism"]]["string"] / hw[lo["parallelism"]]["string"]
+    hw_alu_speedup = hw[hi["parallelism"]]["alu"] / hw[lo["parallelism"]]["alu"]
     hw_efficiency = hw_speedup / ideal
     normalized = speedup / hw_speedup
     summary = {
@@ -157,6 +176,7 @@ def main() -> int:
         "speedup": round(speedup, 2),
         "ideal_speedup": ideal,
         "hardware_speedup": round(hw_speedup, 2),
+        "hardware_alu_speedup": round(hw_alu_speedup, 2),
         "hardware_efficiency": round(hw_efficiency, 3),
         "efficiency_vs_hardware_ceiling": round(normalized, 3),
     }
@@ -202,14 +222,15 @@ def main() -> int:
         "CPU-bound Python (shared-host frequency/steal): a pure-Python",
         "busy-loop pool (no Spark, no engine code) measures:",
         "",
-        "| procs | aggregate Miter/s |",
-        "|---|---|",
+        "| procs | ALU Miter/s | string iters/s |",
+        "|---|---|---|",
     ] + [
-        f"| {n} | {v:.1f} |" for n, v in hw.items()
+        f"| {n} | {v['alu']:.1f} | {v['string']:.0f} |" for n, v in hw.items()
     ] + [
         "",
         f"Hardware speedup {lo['parallelism']}→{hi['parallelism']}: "
-        f"{hw_speedup:.2f}× (hardware efficiency {hw_efficiency:.3f}).",
+        f"{hw_speedup:.2f}× string-workload / {hw_alu_speedup:.2f}× ALU "
+        f"(string-ceiling efficiency {hw_efficiency:.3f}).",
         "",
         f"**Engine efficiency relative to the measured hardware ceiling: "
         f"{normalized:.3f}** — the engine delivers "
