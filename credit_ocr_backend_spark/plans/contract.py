@@ -839,6 +839,40 @@ def q_quality_scores(spark, sf):
 
 
 @_register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_without_orders(spark, sf):
+    """Left anti join — the resume/checkpoint exclusion pattern
+    (SURVEY §2.3: 'the engine still needs one real join: the resume
+    anti-join') as a standalone relational operator."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@_register(
+    "customers_with_orders_semi",
+    """
+    SELECT c_custkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_customers_with_orders_semi(spark, sf):
+    """Left semi join (existence check without row multiplication)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@_register(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,

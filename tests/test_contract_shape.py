@@ -38,7 +38,10 @@ def test_operator_class_coverage():
     qs = set(entrymod.queries())
     coverage = {
         "filters_projections": {"filter_project", "colon_split"},
-        "joins": {"orders_per_customer", "revenue_by_nation", "shipdate_range_join"},
+        "joins": {
+            "orders_per_customer", "revenue_by_nation", "shipdate_range_join",
+            "customers_without_orders", "customers_with_orders_semi",
+        },
         "aggregations": {
             "lang_counts", "latest_order_per_customer", "pricing_summary",
         },
