@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import json
 import re
+from functools import lru_cache
 from html.parser import HTMLParser
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -80,9 +81,11 @@ def _stable_unit(key: str) -> float:
     return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:8], 16) / 0x100000000
 
 
+@lru_cache(maxsize=262144)
 def _word_confidence(word: str, line_idx: int, word_idx: int) -> float:
     """Synthetic per-word OCR confidence in {0.90 … 0.99}, deterministic
-    in the word content and its position."""
+    in the word content and its position (memoized — form labels repeat
+    at identical positions across millions of documents)."""
     return 0.90 + int(_stable_unit(f"{word}|{line_idx}|{word_idx}") * 10) / 100.0
 
 
