@@ -107,10 +107,16 @@ class CheckpointManager:
         """One fragment per commit — append-only, crash-safe (written to
         a temp name, renamed into place). Lineage is driver-side
         metadata (one row per bucket), written directly with pyarrow
-        instead of paying a Spark job per commit."""
+        instead of paying a Spark job per commit.
+
+        An empty chunk (e.g. everything pruned by the warc_ts filter)
+        still records one sentinel row (bucket = -1) so resume can skip
+        it instead of re-running a no-op forever."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if not per_bucket:
+            per_bucket = [{"bucket": -1, "n_docs": 0, "n_failed": 0, "cpu_ms": 0.0}]
         os.makedirs(self.lineage_dir, exist_ok=True)
         finished_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         table = pa.table(

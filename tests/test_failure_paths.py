@@ -1,0 +1,82 @@
+"""End-to-end failure semantics: per-document failure isolation (the
+reference's handle_extraction_error analogue) and empty-chunk resume."""
+
+from __future__ import annotations
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from credit_ocr_backend_spark.plans.pipeline import run_pipeline  # noqa: E402
+from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
+from credit_ocr_backend_spark.sources.pages import build_page  # noqa: E402
+
+# A layout-words payload with explicit-null confidences: line confidence
+# becomes None, and the geometric pairing pass hits the reference's
+# min(None, ...) TypeError (preserved quirk) → the document must fail in
+# isolation, not the job.
+_POISON_HTML = (
+    '<html><body><main><script type="application/x-layout-words">'
+    '[{"t": "Firmenname", "p": 1, "x": 0.5, "y": 1.0, "w": 0.5, "h": 0.01, "c": null},'
+    ' {"t": "DemoTech", "p": 1, "x": 3.0, "y": 1.01, "w": 0.4, "h": 0.01, "c": null}]'
+    "</script></main></body></html>"
+).encode("utf-8")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("failure-tests", parallelism=4)
+
+
+def _write_mixed_corpus(spark, path: str) -> None:
+    rows = []
+    for k in range(20):
+        p = build_page(k)
+        rows.append((p["url"], p["warc_ts"], p["html"], "", p["lang"]))
+    rows.append(("https://poison.example/doc/x", build_page(0)["warc_ts"], _POISON_HTML, "", "de"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_date", F.to_date("warc_ts"))
+    df.write.mode("overwrite").partitionBy("warc_date").parquet(path)
+
+
+def test_poison_document_fails_in_isolation(spark, tmp_path):
+    pages = str(tmp_path / "pages")
+    _write_mixed_corpus(spark, pages)
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, pages, out, n_buckets=4, n_chunks=1)
+    assert res.n_docs == 21
+    assert res.n_failed == 1
+
+    docs = spark.read.parquet(f"{out}/docs")
+    poison = docs.where(F.col("url") == "https://poison.example/doc/x").collect()[0]
+    assert poison["status"] == "failed"
+    assert "TypeError" in poison["error"]
+    # healthy docs unaffected
+    assert docs.where(F.col("status") == "done").count() == 20
+    # lineage accounts for the failure
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.agg(F.sum("n_failed")).collect()[0][0] == 1
+    # failed docs contribute no field rows
+    results = spark.read.parquet(f"{out}/results")
+    assert results.where(F.col("url") == "https://poison.example/doc/x").count() == 0
+
+
+def test_empty_chunk_is_resumable(spark, tmp_path):
+    pages = str(tmp_path / "pages2")
+    _write_mixed_corpus(spark, pages)
+    out = str(tmp_path / "out2")
+    # Prune everything out: empty chunks must still commit lineage...
+    res1 = run_pipeline(
+        spark, pages, out, n_buckets=4, n_chunks=2,
+        ts_min="2030-01-01", ts_max="2030-01-02",
+    )
+    assert res1.n_docs == 0 and res1.chunks_run == 2
+    # ...so a resume run skips them instead of re-running no-ops forever.
+    res2 = run_pipeline(
+        spark, pages, out, n_buckets=4, n_chunks=2, resume=True,
+        ts_min="2030-01-01", ts_max="2030-01-02",
+    )
+    assert res2.chunks_skipped == 2 and res2.chunks_run == 0
