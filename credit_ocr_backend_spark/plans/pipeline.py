@@ -196,16 +196,8 @@ def run_pipeline(
         else:
             raise ValueError(f"unknown mode: {mode}")
 
-        # Cache the chunk output across its three consumers (docs write,
-        # results explode, lineage agg) — one stage execution instead of
-        # write + two parquet read-backs. A chunk is sized to fit the
-        # cluster's storage memory by construction (that's what chunking
-        # is for); MEMORY_AND_DISK degrades gracefully if it doesn't.
-        from pyspark import StorageLevel
-
-        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
         ckpt.write_chunk(extracted, "docs", chunk_id)
-        docs = extracted
+        docs = ckpt.read_chunk("docs", chunk_id)
 
         # Long-format results: explode AFTER the heavy stage, from the
         # committed docs table (html long gone — narrow scan); the JSON
@@ -234,7 +226,6 @@ def run_pipeline(
         ]
         wall_ms = int((time.perf_counter() - t0) * 1000)
         ckpt.append_lineage("extracted", chunk_id, per_bucket, wall_ms, run_id)
-        extracted.unpersist()
 
         result.chunks_run += 1
         result.n_docs += sum(b["n_docs"] for b in per_bucket)
