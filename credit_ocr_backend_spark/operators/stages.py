@@ -23,7 +23,7 @@ an explicit ``sc.broadcast`` adds nothing for a <50 KB object).
 
 from __future__ import annotations
 
-import math
+import json
 import time
 from typing import Any, Dict, Iterator, List, Optional
 
@@ -57,57 +57,30 @@ FIELDS_T = (
     f"page:int,bounding_box:{BBOX_T},is_valid:boolean,errors:array<string>>>"
 )
 
+# Nested payloads (tokens / items / fields) travel as compact-JSON
+# STRING columns between stages, not as list<struct>:
+#  * transferring nested list<struct> through a pandas UDF costs ~5 ms/doc
+#    in per-element Python conversion (measured — as much as the whole
+#    extraction core); a string column is a straight Arrow buffer;
+#  * json round-trips the core's plain dicts EXACTLY (missing keys stay
+#    missing, None stays None — no NaN/numpy-scalar sanitization layer),
+#    which is what makes staged mode byte-identical to fused by
+#    construction;
+#  * a relational view is recovered JVM-side at codegen speed with
+#    from_json(TOKENS_T / ITEMS_T / FIELDS_T) when a query needs it.
 PARSED_SCHEMA = (
     f"url string, bucket int, status string, error string, "
-    f"extracted_text string, tokens {TOKENS_T}, proc_ms double"
+    f"extracted_text string, tokens_json string, proc_ms double"
 )
 NORMALIZED_SCHEMA = (
     f"url string, bucket int, status string, error string, "
-    f"extracted_text string, tokens {TOKENS_T}, items {ITEMS_T}, proc_ms double"
+    f"extracted_text string, tokens_json string, items_json string, proc_ms double"
 )
-# fields travel as ONE compact-JSON string column: transferring nested
-# list<struct> out of a pandas UDF costs ~5 ms/doc in per-element Python
-# conversion (measured — as much as the whole extraction core), while a
-# string column is a straight Arrow buffer; the relational view is
-# recovered JVM-side with from_json(FIELDS_T) at full codegen speed.
 EXTRACTED_SCHEMA = (
     f"url string, bucket int, status string, error string, "
     f"extracted_text string, missing_fields array<string>, "
     f"fields_json string, proc_ms double"
 )
-
-# ---------------------------------------------------------------------------
-# Arrow → plain-Python sanitization
-# ---------------------------------------------------------------------------
-
-
-def _plain(value: Any) -> Any:
-    """Arrow round-trips hand back numpy scalars, NaN-for-null and
-    ndarray-for-list; the core (and json.dumps) needs plain Python.
-    Applied when *reading* nested columns back in staged mode so fused
-    and staged runs are byte-identical."""
-    if value is None:
-        return None
-    if isinstance(value, float):
-        return None if math.isnan(value) else value
-    if isinstance(value, (str, int, bool)):
-        return value
-    if isinstance(value, dict):
-        return {k: _plain(v) for k, v in value.items()}
-    if hasattr(value, "item") and not hasattr(value, "__len__"):  # numpy scalar
-        return _plain(value.item())
-    if hasattr(value, "__iter__"):
-        return [_plain(v) for v in value]
-    return value
-
-
-def sanitize_tokens(tokens: Any) -> List[Dict[str, Any]]:
-    out = []
-    for tok in _plain(tokens) or []:
-        page = tok.get("page")
-        tok["page"] = int(page) if page is not None else None
-        out.append(tok)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +168,8 @@ def make_parse_stage():
                 rows.append(
                     {
                         "url": url, "bucket": int(bucket), "status": status,
-                        "error": error, "extracted_text": text, "tokens": tokens,
+                        "error": error, "extracted_text": text,
+                        "tokens_json": dumps_compact(tokens),
                         "proc_ms": (time.perf_counter() - t0) * 1000.0,
                     }
                 )
@@ -210,13 +184,12 @@ def make_normalize_stage():
             rows = []
             for rec in pdf.to_dict("records"):
                 t0 = time.perf_counter()
-                tokens = sanitize_tokens(rec["tokens"])
                 status, error, items = "normalized", rec["error"], []
                 if rec["status"] == STATUS_FAILED:
                     status = STATUS_FAILED
                 else:
                     try:
-                        items = normalize_items(tokens)
+                        items = normalize_items(json.loads(rec["tokens_json"]))
                     except Exception as exc:
                         status, error = STATUS_FAILED, f"{type(exc).__name__}: {exc}"
                 rows.append(
@@ -224,7 +197,8 @@ def make_normalize_stage():
                         "url": rec["url"], "bucket": int(rec["bucket"]),
                         "status": status, "error": error,
                         "extracted_text": rec["extracted_text"],
-                        "tokens": tokens, "items": items,
+                        "tokens_json": rec["tokens_json"],
+                        "items_json": dumps_compact(items),
                         "proc_ms": (time.perf_counter() - t0) * 1000.0,
                     }
                 )
@@ -244,13 +218,10 @@ def make_extract_stage(doc_config: DocumentTypeConfig):
                     status = STATUS_FAILED
                 else:
                     try:
-                        tokens = sanitize_tokens(rec["tokens"])
-                        items = _plain(rec["items"]) or []
-                        for item in items:
-                            if item.get("page") is not None:
-                                item["page"] = int(item["page"])
                         extraction = extract_fields(
-                            items, doc_config, original_ocr_lines=tokens
+                            json.loads(rec["items_json"]),
+                            doc_config,
+                            original_ocr_lines=json.loads(rec["tokens_json"]),
                         )
                     except Exception as exc:
                         status, error = STATUS_FAILED, f"{type(exc).__name__}: {exc}"
