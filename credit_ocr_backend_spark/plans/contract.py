@@ -85,7 +85,7 @@ def q_filter_project(spark, sf):
 @_register(
     "lang_counts",
     """
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -259,8 +259,8 @@ def q_next_event_asof(spark, sf):
       FROM events
     ), sessions AS (
       SELECT user_id, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged
     )
     SELECT user_id, session_seq, count(*) AS n_events
@@ -345,9 +345,9 @@ def q_union_tagged(spark, sf):
     "missing_langs",
     """
     SELECT source,
-           array_to_string(
+           coalesce(array_to_string(
              list_sort(list_filter(['de','en','es','fr','zh'],
-                       x -> NOT list_contains(list(lang), x))), ',') AS missing
+                       x -> NOT list_contains(list(lang), x))), ','), '') AS missing
     FROM documents GROUP BY source
     """,
 )
@@ -445,10 +445,10 @@ def q_clean_number(spark, sf):
 @_register(
     "german_date_valid",
     """
-    SELECT sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%d.%m.%Y'),
-                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS n_valid,
-           sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%Y-%m-%d'),
-                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS n_invalid_fmt
+    SELECT CAST(sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%d.%m.%Y'),
+                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN regexp_matches(strftime(o_orderdate, '%Y-%m-%d'),
+                         '^\\d{2}\\.\\d{2}\\.\\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_fmt
     FROM orders
     """,
 )

@@ -22,18 +22,22 @@ TABLES = (
 
 
 def _norm_cell(v):
+    # Type-FAITHFUL rendering (round-2 fix): the driver's hash distinguishes
+    # None vs '', Decimal vs float, and int-valued floats vs int.  Round 1
+    # normalized those away and masked 4 driver hash-fails — this mirror must
+    # fail exactly when the driver fails, so every type gets a distinct tag.
     if v is None:
-        return ""
+        return "\x00null"
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return "b:" + str(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        return "d:" + str(v)
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6f}"
+        return "f:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
     if isinstance(v, bytes):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
@@ -85,9 +89,12 @@ def main() -> int:
             continue
 
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # .arrow() (not .fetchall()) so un-CAST DuckDB sums surface as
+            # Decimal(hugeint) instead of being silently collapsed to Python
+            # int — the exact divergence the driver's stricter hash catches.
+            tbl = con.execute(oracles[name]).arrow()
+            dcols = tbl.schema.names
+            drows = [[row[c] for c in dcols] for row in tbl.to_pylist()]
             d_sig = frame_digest(dcols, drows)
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {str(exc)[:200]}")
