@@ -29,6 +29,12 @@ from credit_ocr_backend_spark.functions.scalar import hex_prefix_to_long
 N_MINHASHES = 8
 LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
 SIMHASH_BITS = 16
+# Band buckets larger than this emit star pairs (representative ↔ member)
+# instead of all-pairs: a Common-Crawl-scale mega-duplicate cluster of c
+# docs sharing a band hash would otherwise fan out O(c²) rows (c=10⁶ →
+# 5·10¹¹ pairs from ONE bucket). The star keeps the cluster connected
+# for downstream connected-components/canonicalization at O(c) cost.
+LSH_MAX_BUCKET = 64
 
 
 def words_col(text: Column | str) -> Column:
@@ -97,7 +103,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = N_MINHASHES, band_rows: int = LSH_BAND_ROWS
+    signatures: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    band_rows: int = LSH_BAND_ROWS,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature and self-join on (band_id, band_hash): two
     documents are candidates iff some band agrees fully. Returns
@@ -106,7 +115,13 @@ def lsh_candidate_pairs(
     One explode builds all bands in a single pass (a per-band
     union would re-evaluate the signature subtree once per band per
     join side); the self-join's two sides share the same subplan so the
-    shuffle exchange is reused."""
+    shuffle exchange is reused.
+
+    Mega-cluster guard: buckets with more than ``max_bucket`` members
+    contribute star pairs (min-doc representative ↔ each member, O(c))
+    instead of all-pairs (O(c²)) — same connected components, no pair
+    blow-up. Use :func:`oversized_band_buckets` to report what was
+    star-reduced (no silent caps)."""
     n_bands = n_hashes // band_rows
     band_structs = F.array(
         *[
@@ -125,17 +140,62 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc", F.explode(band_structs).alias("band")
     ).select("doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+
+    # Bucket size + representative in one shuffle on (band_id, band_hash)
+    # — two window functions over the same partitioning share one sort.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_id", "band_hash")
+    counted = banded.withColumn("_c", F.count("*").over(w)).withColumn(
+        "_rep", F.min("doc").over(w)
+    )
+
+    small = counted.where(F.col("_c") <= max_bucket)
+    left = small.alias("l")
+    right = small.alias("r")
+    all_pairs = left.join(
+        right,
+        (F.col("l.band_id") == F.col("r.band_id"))
+        & (F.col("l.band_hash") == F.col("r.band_hash"))
+        & (F.col("l.doc") < F.col("r.doc")),
+    ).select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+
+    star = counted.where(
+        (F.col("_c") > max_bucket) & (F.col("doc") != F.col("_rep"))
+    ).select(F.col("_rep").alias("doc_a"), F.col("doc").alias("doc_b"))
+
+    return all_pairs.unionByName(star).distinct()
+
+
+def oversized_band_buckets(
+    signatures: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    band_rows: int = LSH_BAND_ROWS,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Accounting companion to the mega-cluster guard: one row per band
+    bucket that was star-reduced — (band_id, band_hash, n_docs). Callers
+    log/persist this so the cap is never silent."""
+    n_bands = n_hashes // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .distinct()
+        signatures.select("doc", F.explode(band_structs).alias("band"))
+        .groupBy(F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
     )
 
 

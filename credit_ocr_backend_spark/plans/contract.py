@@ -587,16 +587,27 @@ def _duck_lsh_pairs() -> str:
         f"mh{b * D.LSH_BAND_ROWS + 1}) AS band_hash FROM sigs"
         for b in range(n_bands)
     )
+    # Mirrors the engine's mega-cluster guard (operators/dedup.py
+    # lsh_candidate_pairs): buckets > LSH_MAX_BUCKET emit star pairs.
     return f"""
     WITH exploded AS (
       SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS sh FROM documents
     ), sigs AS (
       SELECT doc, {", ".join(f"min(md5('{s}:' || sh)) AS mh{s}" for s in range(D.N_MINHASHES))}
       FROM exploded GROUP BY doc
-    ), banded AS ({band_selects})
+    ), banded AS ({band_selects}), counted AS (
+      SELECT doc, band_id, band_hash,
+             count(*) OVER (PARTITION BY band_id, band_hash) AS c,
+             min(doc) OVER (PARTITION BY band_id, band_hash) AS rep
+      FROM banded
+    )
     SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-    FROM banded l JOIN banded r
+    FROM counted l JOIN counted r
       ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc < r.doc
+    WHERE l.c <= {D.LSH_MAX_BUCKET}
+    UNION
+    SELECT DISTINCT rep AS doc_a, doc AS doc_b
+    FROM counted WHERE c > {D.LSH_MAX_BUCKET} AND doc <> rep
     """
 
 
@@ -1026,28 +1037,60 @@ def q_multimodal_features(spark, sf):
     )
 
 
+@_register(
+    "video_frame_samples",
+    """
+    WITH vids AS (
+      SELECT doc_id AS media_id,
+             regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g') AS t
+      FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    )
+    SELECT media_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           sha256(substring(t, CAST(f.frame_idx AS INT) * greatest(length(t) // 4, 1) + 1,
+                            greatest(length(t) // 4, 1))) AS frame_sha256
+    FROM vids, (SELECT unnest(range(4)) AS frame_idx) f
+    """,
+)
 def q_video_frame_samples(spark, sf):
-    """Frame sampling fan-out for video payloads (rows-only: byte-slice
-    digests aren't expressible in DuckDB 1.0 — no blob substring)."""
+    """Frame sampling fan-out for video payloads.  The payload is the
+    ASCII projection of the text (byte == char), which makes the byte
+    slicing the frame sampler does expressible in DuckDB 1.0 — which
+    has no blob substring / sha256(BLOB) — so the fan-out shape, the
+    slice arithmetic, and the per-frame digests are all oracle-checked.
+    The operator itself stays byte-general (unit tests cover raw-binary
+    payloads)."""
     from credit_ocr_backend_spark.operators.multimodal import (
         synthesize_media,
         video_frame_samples,
     )
 
-    media = synthesize_media(_t(spark, sf, "documents"), "doc_id", "text")
+    docs = _t(spark, sf, "documents").where(F.col("text").isNotNull())
+    ascii_docs = docs.select(
+        "doc_id", F.regexp_replace("text", r"[^\x20-\x7e]", "?").alias("text")
+    )
+    media = synthesize_media(ascii_docs, "doc_id", "text")
     return video_frame_samples(media, n_frames=4)
 
 
-_QUERIES["video_frame_samples"] = q_video_frame_samples
-
-
 # ---------------------------------------------------------------------------
-# D. Extraction engine itself (rows-only checks — per-document Python
-# semantics, not SQL-expressible; byte-parity is covered by the pytest
-# golden suite instead)
+# D. Extraction engine itself.  Per-document Python semantics are not
+# re-derivable in SQL, so the oracle reads a COMMITTED expected-output
+# table produced by the REFERENCE implementation's own pure functions
+# (tools/gen_expected_extraction.py — normalize_ocr_lines +
+# extract_fields_with_llm from /root/reference, deterministic alias
+# mapper injected as the LLM).  A hash match here is reference parity.
 # ---------------------------------------------------------------------------
 
+_EXPECTED_DIR = "/root/repo/tests/goldens"
 
+
+@_register(
+    "extraction_results",
+    f"""
+    SELECT url, field_name, value, confidence, is_valid
+    FROM read_parquet('{_EXPECTED_DIR}/expected_extraction_results.parquet')
+    """,
+)
 def q_extraction_results(spark, sf):
     """Full extraction pipeline over a generated 64-page corpus →
     long-format field rows (the ExtrahierteDaten table)."""
@@ -1079,6 +1122,13 @@ def q_extraction_results(spark, sf):
     )
 
 
+@_register(
+    "extraction_docs",
+    f"""
+    SELECT url, status, n_missing, text_len
+    FROM read_parquet('{_EXPECTED_DIR}/expected_extraction_docs.parquet')
+    """,
+)
 def q_extraction_docs(spark, sf):
     """Doc-level extraction outcomes for the generated corpus."""
     from credit_ocr_backend_spark.core.config import default_config
@@ -1099,10 +1149,6 @@ def q_extraction_docs(spark, sf):
         F.size("missing_fields").alias("n_missing"),
         F.length("extracted_text").alias("text_len"),
     )
-
-
-_QUERIES["extraction_results"] = q_extraction_results
-_QUERIES["extraction_docs"] = q_extraction_docs
 
 
 # ---------------------------------------------------------------------------

@@ -21,12 +21,11 @@ def test_queries_registry_shape():
     assert len(qs) >= 30
     # every oracle key has a query
     assert set(oracles) <= set(qs)
-    # only the extraction pipeline (per-document Python semantics) is
-    # rows-only — everything else must be oracle-checked
+    # round 2: EVERY query is oracle-checked — no rows-only rows left
+    # (extraction_* read reference-generated expected parquet;
+    # video_frame_samples uses ASCII payloads so DuckDB can digest them)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "extraction_results", "extraction_docs", "video_frame_samples",
-    }
+    assert rows_only == set()
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():

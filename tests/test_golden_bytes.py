@@ -1,10 +1,15 @@
 """Golden-file byte tests (SURVEY.md §5.2.2).
 
-The committed goldens pin the full per-document output — extracted
-text, normalized items, extraction envelope — serialized with the
+The committed goldens are REFERENCE-GENERATED (round 2): produced by
+tools/gen_reference_goldens.py, which runs the reference's own pure
+functions (/root/reference/src/ocr/postprocess.py normalize_ocr_lines +
+extract_label_value_pairs; /root/reference/src/llm/field_extractor.py
+extract_fields_with_llm with the deterministic alias mapper injected as
+the LLM) on the engine's token streams and serializes with the
 reference's exact JSON kwargs (ensure_ascii=False, indent=2;
-/root/reference/src/ocr/extraction.py:201). Any byte drift in the core
-is a parity regression.
+/root/reference/src/ocr/extraction.py:201). A byte mismatch here is a
+true parity break against the reference implementation, not just a
+regression. Regenerate/verify: python tools/gen_reference_goldens.py --check
 """
 
 from __future__ import annotations

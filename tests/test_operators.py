@@ -69,6 +69,28 @@ def test_lsh_finds_exact_pair(docs):
     assert (0, 1) in pairs
 
 
+def test_lsh_mega_cluster_guard(spark):
+    """A 1k-duplicate cluster must NOT fan out O(c²)≈500k pairs: the
+    guard emits a star (min-doc representative ↔ member, c-1 pairs) that
+    keeps the cluster a single connected component. Small buckets keep
+    exact all-pairs semantics."""
+    big = [(i, "the same mega duplicated boilerplate page body text") for i in range(1000)]
+    small = [(2000, "unique alpha beta gamma delta content one"),
+             (2001, "unique alpha beta gamma delta content one")]
+    docs = spark.createDataFrame(big + small, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    pairs = D.lsh_candidate_pairs(sigs).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # star over the mega-cluster: exactly c-1 pairs, all anchored at doc 0
+    mega = {p for p in got if p[0] < 2000 and p[1] < 2000}
+    assert mega == {(0, i) for i in range(1, 1000)}
+    # the small bucket is untouched all-pairs
+    assert (2000, 2001) in got
+    # the accounting surface reports what was star-reduced
+    oversized = D.oversized_band_buckets(sigs).collect()
+    assert oversized and all(r["n_docs"] == 1000 for r in oversized)
+
+
 def test_ngram_jaccard_values(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 3)], "doc_a long, doc_b long")
     j = {(r["doc_a"], r["doc_b"]): r["jaccard"]
@@ -106,6 +128,26 @@ def test_cosine_topk_and_quantization(spark):
     # quantization: floor(x*1000 + 0.5)
     q = emb.where(F.col("vec_id") == 1).select(SIM.quantize("embedding").alias("q")).collect()[0]["q"]
     assert list(q) == [900, 100, 0]
+
+
+def test_topk_plan_is_distributed(spark):
+    """The top-k must compile to TakeOrderedAndProject (per-partition
+    heaps), never a single-partition sort of all scored rows — the
+    round-1 scale-killer flagged in VERDICT.md (What's wrong §4). The
+    rnk window may only run over the already-limited k rows."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    query = emb.where(F.col("vec_id") == 0)
+    for top in (
+        SIM.brute_force_topk(emb, query, k=5),
+        SIM.lsh_topk(emb, query, k=5, n_planes=4),
+    ):
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
+        # the only Window must sit ABOVE the limit (consume k rows)
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
 
 
 def test_lsh_bucket_deterministic(spark):
