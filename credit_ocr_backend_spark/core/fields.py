@@ -142,12 +142,16 @@ def validate_extracted_fields(
 # Per-config derived tables, memoized by config identity: normalized
 # alias list (declaration order preserved) and field→lowercased-aliases
 # reverse map. Pure caches of pure functions — no behavior change.
-_CONFIG_CACHE: Dict[int, Dict[str, Any]] = {}
+# BOUNDED to the single most-recent config (ADVICE round 1): long-lived
+# Spark Python workers deserialize a fresh DocumentTypeConfig per task,
+# so an id()-keyed dict would grow one strong-referenced entry per task
+# forever. One slot covers the realistic case (one config per job) and
+# a different config simply rebuilds the (cheap) tables.
+_CONFIG_CACHE: Dict[str, Any] = {}
 
 
 def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
-    key = id(doc_config)
-    cached = _CONFIG_CACHE.get(key)
+    cached = _CONFIG_CACHE.get("entry")
     if cached is None or cached["config"] is not doc_config:
         expected = set(doc_config.expected_fields)
         cached = {
@@ -166,7 +170,8 @@ def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
                 for eng in set(doc_config.field_mappings.values())
             },
         }
-        _CONFIG_CACHE[key] = cached
+        _CONFIG_CACHE.clear()
+        _CONFIG_CACHE["entry"] = cached
     return cached
 
 

@@ -141,6 +141,18 @@ def make_fused_stage(doc_config: DocumentTypeConfig):
             rows = []
             for url, bucket, html in zip(pdf["url"], pdf["bucket"], pdf["html"]):
                 t0 = time.perf_counter()
+                if html is None:
+                    # NULL html reaches the stage (routed to bulk by
+                    # _defuse_skew) and is RECORDED as failed — never
+                    # silently dropped from the per-bucket accounting.
+                    rows.append(
+                        _extracted_row(
+                            url, int(bucket), STATUS_FAILED,
+                            "ValueError: null html payload", "", None,
+                            (time.perf_counter() - t0) * 1000.0,
+                        )
+                    )
+                    continue
                 r = process_document(url, bytes(html), doc_config)
                 ms = (time.perf_counter() - t0) * 1000.0
                 rows.append(
@@ -162,6 +174,8 @@ def make_parse_stage():
                 t0 = time.perf_counter()
                 status, error, tokens, text = "parsed", None, [], ""
                 try:
+                    if html is None:
+                        raise ValueError("null html payload")
                     tokens, text = parse_page(bytes(html))
                 except Exception as exc:
                     status, error = STATUS_FAILED, f"{type(exc).__name__}: {exc}"

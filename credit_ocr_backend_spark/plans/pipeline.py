@@ -103,12 +103,17 @@ def _input_slice(
     """Projection + pruning + bucketing for one chunk. Only url/html
     survive — everything else is pruned before the heavy stage."""
     df = pages
-    # Partition pruning: warc_date is the physical partition column; the
-    # warc_ts predicate lands on it so only matching day-directories scan.
+    # Two-level time filter: a day-granular predicate on the physical
+    # partition column warc_date (prunes whole day-directories at plan
+    # time) PLUS the exact timestamp predicate on warc_ts — so bounds
+    # like '2025-01-10T12:00' keep Jan 10's partition but cut rows at
+    # the exact timestamp instead of silently coarsening to whole days.
     if ts_min is not None:
-        df = df.where(F.col("warc_date") >= F.lit(ts_min))
+        df = df.where(F.col("warc_date") >= F.lit(ts_min[:10]))
+        df = df.where(F.col("warc_ts") >= F.to_timestamp(F.lit(ts_min)))
     if ts_max is not None:
-        df = df.where(F.col("warc_date") < F.lit(ts_max))
+        df = df.where(F.col("warc_date") <= F.lit(ts_max[:10]))
+        df = df.where(F.col("warc_ts") < F.to_timestamp(F.lit(ts_max)))
     df = with_bucket(df.select("url", "html"), n_buckets)
     return df.where(
         (F.col("bucket") >= bucket_lo) & (F.col("bucket") < bucket_hi)
@@ -120,12 +125,16 @@ def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
     ids clump under hash-partitioning; raw rows don't). Giant documents
     (heavy html right tail) go round-robin so one task never queues two
     of them (SURVEY.md §7.3 giant-doc skew)."""
+    # coalesce(length, 0): a NULL html row must land in the bulk branch
+    # (both raw length predicates evaluate to NULL → the row would land
+    # in NEITHER branch and vanish without a status=failed record).
+    size = F.coalesce(F.length("html"), F.lit(0))
     bulk = (
-        df.where(F.length("html") <= GIANT_HTML_BYTES)
+        df.where(size <= GIANT_HTML_BYTES)
         .repartition(parallelism * 4, F.xxhash64("url"))  # fine waves → tight tail
     )
     giants = (
-        df.where(F.length("html") > GIANT_HTML_BYTES)
+        df.where(size > GIANT_HTML_BYTES)
         .repartition(max(parallelism // 2, 1))  # round-robin: no key
     )
     return bulk.unionByName(giants)
@@ -155,6 +164,21 @@ def run_pipeline(
     ckpt = CheckpointManager(spark, out_root)
     run_id = new_run_id()
     pages = spark.read.parquet(pages_path)
+
+    # Chunk identity = these parameters. The manifest pins them so a
+    # resume under different values fails fast instead of silently
+    # skipping chunk ids whose bucket ranges / input window changed.
+    manifest = {
+        "n_buckets": n_buckets,
+        "n_chunks": n_chunks,
+        "ts_min": ts_min,
+        "ts_max": ts_max,
+        "mode": mode,
+    }
+    if resume:
+        ckpt.check_manifest(manifest)
+    else:
+        ckpt.write_manifest(manifest)
 
     done_chunks = ckpt.done_chunks("extracted") if resume else set()
     result = PipelineResult(out_root=out_root)

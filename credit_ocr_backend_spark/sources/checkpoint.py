@@ -52,9 +52,66 @@ class CheckpointManager:
     ``{root}/lineage/part-*.parquet`` (append-only fragments)."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
+        # Lineage/manifest I/O uses driver-local filesystem APIs; an
+        # object-store root would silently split data (s3) from resume
+        # state (a junk local 's3:/...' dir). Fail fast until lineage is
+        # routed through fsspec/Hadoop FileSystem.
+        scheme = root.split("://", 1)[0] if "://" in root else ""
+        if scheme and scheme != "file":
+            raise ValueError(
+                f"CheckpointManager requires a local out_root (got scheme "
+                f"'{scheme}://'): lineage/manifest are written with local "
+                f"filesystem APIs. Mount the store or use a file:// path."
+            )
         self.spark = spark
-        self.root = root.rstrip("/")
+        self.root = root[len("file://"):] if root.startswith("file://") else root
+        self.root = self.root.rstrip("/")
         self.lineage_dir = f"{self.root}/lineage"
+        self.manifest_path = f"{self.root}/run_manifest.json"
+
+    # -- run manifest -------------------------------------------------------
+
+    def write_manifest(self, params: dict) -> None:
+        """Persist the run parameters that define chunk identity
+        (n_buckets, n_chunks, ts window, mode). Resuming under different
+        parameters would silently skip chunk ids whose bucket ranges or
+        input window differ from the committed run."""
+        import json
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(params, f, sort_keys=True, indent=2)
+        os.replace(tmp, self.manifest_path)
+
+    def read_manifest(self) -> Optional[dict]:
+        import json
+
+        if not os.path.isfile(self.manifest_path):
+            return None
+        with open(self.manifest_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def check_manifest(self, params: dict) -> None:
+        """Refuse a resume whose parameters differ from the committed
+        run (ADVICE round 1: silent chunk-identity drift)."""
+        committed = self.read_manifest()
+        if committed is None:
+            # legacy run without a manifest: record it now
+            self.write_manifest(params)
+            return
+        diffs = {
+            k: (committed.get(k), params.get(k))
+            for k in set(committed) | set(params)
+            if committed.get(k) != params.get(k)
+        }
+        if diffs:
+            raise ValueError(
+                f"resume parameter mismatch vs committed run manifest "
+                f"{self.manifest_path}: {diffs} — committed chunks were "
+                f"built under different chunk-identity parameters; rerun "
+                f"fresh (resume=False) or restore the original parameters."
+            )
 
     # -- lineage ----------------------------------------------------------
 

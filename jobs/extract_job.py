@@ -5,9 +5,16 @@ Cluster usage (north rule packaging):
 
     cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark
     spark-submit --py-files /tmp/engine.zip jobs/extract_job.py \
-        --pages s3://bucket/pages --out s3://bucket/extract \
+        --pages s3://bucket/pages --out /mnt/shared/extract \
         --ts-min 2025-01-01 --ts-max 2025-02-01 \
         --buckets 4096 --chunks 64 [--resume]
+
+NOTE: --pages may be any Spark-readable URI (s3/hdfs/...), but --out
+must be a driver-local (or mounted) path: chunk lineage and the run
+manifest are written with local filesystem APIs, and CheckpointManager
+fails fast on an object-store out_root rather than silently divorcing
+resume state from data (routing lineage through fsspec/Hadoop
+FileSystem is the documented extension point).
 
 Local smoke:
 

@@ -80,3 +80,78 @@ def test_empty_chunk_is_resumable(spark, tmp_path):
         ts_min="2030-01-01", ts_max="2030-01-02",
     )
     assert res2.chunks_skipped == 2 and res2.chunks_run == 0
+
+
+def test_resume_refuses_mismatched_parameters(spark, tmp_path):
+    """Chunk identity = (n_buckets, n_chunks, ts window, mode); resuming
+    under different values must fail fast, not silently skip chunk ids
+    whose bucket ranges changed (ADVICE round 1)."""
+    pages = str(tmp_path / "pages3")
+    _write_mixed_corpus(spark, pages)
+    out = str(tmp_path / "out3")
+    run_pipeline(spark, pages, out, n_buckets=4, n_chunks=2)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        run_pipeline(spark, pages, out, n_buckets=8, n_chunks=2, resume=True)
+    # matching parameters resume fine
+    res = run_pipeline(spark, pages, out, n_buckets=4, n_chunks=2, resume=True)
+    assert res.chunks_skipped == 2 and res.chunks_run == 0
+
+
+def test_object_store_out_root_rejected(spark, tmp_path):
+    """Lineage/manifest are driver-local writes; an s3:// out_root would
+    silently split resume state from data — fail fast instead."""
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    with pytest.raises(ValueError, match="local out_root"):
+        CheckpointManager(spark, "s3://bucket/extract")
+    # file:// is accepted and normalized to a local path
+    mgr = CheckpointManager(spark, f"file://{tmp_path}/ok")
+    assert mgr.root == f"{tmp_path}/ok"
+
+
+def test_null_html_recorded_as_failed(spark, tmp_path):
+    """A NULL html row must reach the stage and land as status=failed in
+    docs + lineage — not vanish from the accounting (ADVICE round 1:
+    both length(html) skew predicates are NULL for it)."""
+    pages = str(tmp_path / "pages4")
+    rows = []
+    for k in range(4):
+        p = build_page(k)
+        rows.append((p["url"], p["warc_ts"], p["html"], "", p["lang"]))
+    rows.append(("https://null.example/doc", build_page(0)["warc_ts"], None, "", "de"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_date", F.to_date("warc_ts"))
+    df.write.mode("overwrite").partitionBy("warc_date").parquet(pages)
+
+    out = str(tmp_path / "out4")
+    res = run_pipeline(spark, pages, out, n_buckets=2, n_chunks=1)
+    assert res.n_docs == 5 and res.n_failed == 1
+    docs = spark.read.parquet(f"{out}/docs")
+    row = docs.where(F.col("url") == "https://null.example/doc").collect()[0]
+    assert row["status"] == "failed" and "null html" in row["error"]
+
+
+def test_ts_bounds_are_timestamp_precise(spark, tmp_path):
+    """A mid-day ts_max must include that day's partition but cut rows
+    at the exact timestamp (round-1 behavior excluded the whole day)."""
+    pages = str(tmp_path / "pages5")
+    base = build_page(0)["warc_ts"]
+    day = base.strftime("%Y-%m-%d")
+    rows = []
+    for k, hour in enumerate([3, 9, 15, 21]):
+        p = build_page(k)
+        ts = base.replace(hour=hour, minute=0, second=0)
+        rows.append((p["url"], ts, p["html"], "", p["lang"]))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).withColumn("warc_date", F.to_date("warc_ts"))
+    df.write.mode("overwrite").partitionBy("warc_date").parquet(pages)
+
+    out = str(tmp_path / "out5")
+    res = run_pipeline(
+        spark, pages, out, n_buckets=2, n_chunks=1,
+        ts_min=f"{day}T06:00:00", ts_max=f"{day}T18:00:00",
+    )
+    docs = spark.read.parquet(f"{out}/docs")
+    assert res.n_docs == 2 == docs.count()  # 09:00 and 15:00 only
