@@ -1151,6 +1151,125 @@ def q_extraction_docs(spark, sf):
     )
 
 
+@_register(
+    "viz_colors",
+    """
+    WITH conf AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE (doc_id % 100) / 100.0 END AS c
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN c IS NULL THEN '#808080'
+                WHEN c >= 0.8 THEN '#00FF00'
+                WHEN c >= 0.6 THEN '#FFFF00'
+                ELSE '#FF0000' END AS color_hex,
+           CASE WHEN c IS NULL THEN [128,128,128]
+                WHEN c >= 0.8 THEN [0,255,0]
+                WHEN c >= 0.6 THEN [255,255,0]
+                ELSE [255,0,0] END AS color_rgb,
+           CASE WHEN coalesce(c, 0.5) >= 0.8 THEN [0,255,0]
+                WHEN coalesce(c, 0.5) >= 0.6 THEN [255,165,0]
+                ELSE [255,0,0] END AS png_rgb
+    FROM conf
+    """,
+)
+def q_viz_colors(spark, sf):
+    """F17/F18: confidence→hex color (pdf_visualizer.py:20-28), hex→rgb
+    (:15-18), and the PNG path's distinct green/orange/red palette
+    (:160-166) — all as codegen when-chains."""
+    from credit_ocr_backend_spark.functions import viz
+
+    conf = F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+        (F.col("doc_id") % 100) / 100.0
+    )
+    docs = _t(spark, sf, "documents").select("doc_id", conf.alias("c"))
+    return docs.select(
+        "doc_id",
+        viz.confidence_color("c").alias("color_hex"),
+        viz.hex_to_rgb(viz.confidence_color("c")).alias("color_rgb"),
+        viz.confidence_color_rgb("c").alias("png_rgb"),
+    )
+
+
+@_register(
+    "viz_draw_plan",
+    f"""
+    SELECT url, page, field_name, value, conf_pct, color_rgb,
+           anchor_x, anchor_y
+    FROM read_parquet('{_EXPECTED_DIR}/expected_draw_plan.parquet')
+    """,
+)
+def q_viz_draw_plan(spark, sf):
+    """S11/W4/F19: the annotated-page draw plan — field mapping
+    (n-stripper alias containment, declaration order), PNG palette,
+    int(p·150) pixel anchors — computed distributed over the 64-page
+    corpus' normalized items. Oracle = reference-visualizer-logic
+    expected parquet (tools/gen_expected_extraction.py)."""
+    from credit_ocr_backend_spark.core.config import default_config
+    from credit_ocr_backend_spark.functions.viz import draw_plan
+    from credit_ocr_backend_spark.operators.stages import (
+        ITEMS_T,
+        NORMALIZED_SCHEMA,
+        PARSED_SCHEMA,
+        make_normalize_stage,
+        make_parse_stage,
+    )
+    from credit_ocr_backend_spark.sources.checkpoint import with_bucket
+    from credit_ocr_backend_spark.sources.pages import generate_pages_df
+
+    cfg = default_config()
+    pages = with_bucket(generate_pages_df(spark, 64, partitions=8), 16)
+    parsed = pages.select("url", "html", "bucket").mapInPandas(
+        make_parse_stage(), schema=PARSED_SCHEMA
+    )
+    normalized = parsed.mapInPandas(make_normalize_stage(), schema=NORMALIZED_SCHEMA)
+    items = normalized.select(
+        "url", F.explode(F.from_json("items_json", ITEMS_T)).alias("it")
+    ).select("url", "it.*")
+    return draw_plan(items, list(cfg.field_mappings.items()))
+
+
+@_register(
+    "merge_upsert",
+    """
+    WITH existing AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      FROM orders
+    ), updates AS (
+      SELECT o_orderkey, price_cents * 2 AS price_cents
+      FROM existing WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 50000000, CAST(999 AS BIGINT)
+      FROM existing WHERE o_orderkey % 1000 = 0
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT e.* FROM existing e ANTI JOIN updates u USING (o_orderkey)
+    """,
+)
+def q_merge_upsert(spark, sf):
+    """S10: the MERGE-INTO relation (updates win on key, survivors kept,
+    new keys insert — reference ON CONFLICT,
+    /root/reference/src/ocr/extraction.py:524-548)."""
+    from credit_ocr_backend_spark.sources.checkpoint import merge_upsert
+
+    existing = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+    )
+    updates = existing.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("price_cents") * 2).alias("price_cents")
+    ).unionByName(
+        existing.where(F.col("o_orderkey") % 1000 == 0).select(
+            (F.col("o_orderkey") + 50000000).alias("o_orderkey"),
+            F.lit(999).cast("long").alias("price_cents"),
+        )
+    )
+    return merge_upsert(existing, updates, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # public registry
 # ---------------------------------------------------------------------------

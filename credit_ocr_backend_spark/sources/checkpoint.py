@@ -206,6 +206,36 @@ class CheckpointManager:
     def read_chunk(self, name: str, chunk: int) -> DataFrame:
         return self.spark.read.parquet(self._chunk_path(name, chunk))
 
+    def upsert_chunk(
+        self, df: DataFrame, name: str, chunk: int, keys: List[str]
+    ) -> None:
+        """MERGE-INTO-shaped upsert into one chunk directory (S10, the
+        reference's ON CONFLICT DO UPDATE,
+        /root/reference/src/ocr/extraction.py:524-548): matched keys are
+        replaced by the update rows, unmatched existing rows survive,
+        new keys insert. On Iceberg this is exactly
+
+            MERGE INTO t USING u ON <keys>
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+
+        ; on plain parquet the merged relation is recomputed and swapped
+        in atomically (staging dir + rename), so readers never observe a
+        half-written chunk."""
+        import shutil
+
+        path = self._chunk_path(name, chunk)
+        if not os.path.isdir(path):
+            df.write.mode("overwrite").parquet(path)
+            return
+        merged = merge_upsert(self.spark.read.parquet(path), df, keys)
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        retired = path + ".old"
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired)
+
     def read(self, name: str) -> DataFrame:
         """Whole stage table across chunks; ``chunk`` becomes a
         discovered partition column usable for pruning."""
@@ -218,6 +248,16 @@ class CheckpointManager:
 
     def _chunk_path(self, name: str, chunk: int) -> str:
         return f"{self.root}/{name}/chunk={chunk:04d}"
+
+
+def merge_upsert(existing: DataFrame, updates: DataFrame, keys: List[str]) -> DataFrame:
+    """The MERGE relation: updates win on key match, unmatched existing
+    rows survive, new keys insert. One anti-join (shuffle on the key) +
+    a union — at scale the anti-join's update side is usually tiny and
+    broadcasts; never a full rewrite of unmatched data beyond the
+    touched partitions when paired with partition-scoped upsert_chunk."""
+    survivors = existing.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return updates.unionByName(survivors)
 
 
 def new_run_id() -> str:
