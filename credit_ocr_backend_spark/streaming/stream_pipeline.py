@@ -11,6 +11,11 @@ Two entry points:
   over the extraction results stream (late data beyond the watermark
   dropped) — the canonical stateful-streaming operator the engine
   exposes for monitoring extraction throughput/quality over event time.
+* ``sessionize_stream`` — CUSTOM stateful operator via
+  ``applyInPandasWithState``: per-user gap sessionization with exactly
+  the batch ``sessionize`` contract-query semantics (gap > 30 min ⇒ new
+  session), Arrow-batched, state = one open session per key, event-time
+  timeout closes idle sessions when the watermark passes last_ts + gap.
 
 Run with ``trigger(availableNow=True)`` for catch-up batch semantics or
 a processing-time trigger for continuous ingest.
@@ -65,6 +70,94 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n_events long"
+
+SESSION_GAP_S = 1800  # 30 min — same contract as the batch `sessionize`
+
+
+def _sessionize_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: fold this trigger's events for one
+    user into the open-session state; emit a row per CLOSED session
+    (gap exceeded or event-time timeout). Runs Arrow-batched per key —
+    no per-row Python outside this generator."""
+    import pandas as pd
+
+    (user_id,) = key
+
+    def row(start_ms, end_ms, n, closed):
+        return {
+            "user_id": user_id,
+            "session_start": pd.Timestamp(start_ms, unit="ms"),
+            "session_end": pd.Timestamp(end_ms, unit="ms"),
+            "n_events": n,
+            "closed": closed,
+        }
+
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame([row(start_ms, last_ms, n, True)])
+        return
+
+    start_ms = last_ms = None
+    n = 0
+    if state.exists:
+        start_ms, last_ms, n = state.get
+
+    out = []
+    for pdf in pdf_iter:
+        # event-time order within the trigger; across triggers the
+        # watermark guarantees no event older than (wm) arrives
+        for ts in sorted(pdf["ts"]):
+            ts_ms = int(ts.value // 1_000_000)
+            if last_ms is not None and ts_ms - last_ms > SESSION_GAP_S * 1000:
+                out.append(row(start_ms, last_ms, n, True))
+                start_ms, n = ts_ms, 0
+            if start_ms is None:
+                start_ms = ts_ms
+            last_ms = ts_ms
+            n += 1
+
+    if last_ms is not None:
+        state.update((start_ms, last_ms, n))
+        # close the session once the watermark passes last_ts + gap
+        state.setTimeoutTimestamp(last_ms + SESSION_GAP_S * 1000)
+    if out:
+        yield pd.DataFrame(out)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.8 forward surface):
+    per-user session windows with the batch ``sessionize`` semantics.
+    Open sessions live in the state store (one tuple per user) and are
+    emitted with ``closed=true`` either when a later event exceeds the
+    gap or when the event-time timeout fires; the state store size is
+    O(active users), never O(events)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def windowed_field_counts(

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
 from credit_ocr_backend_spark.sources.pages import write_pages  # noqa: E402
 from credit_ocr_backend_spark.streaming.stream_pipeline import (  # noqa: E402
+    _sessionize_fn,
+    sessionize_stream,
     stream_extract,
     windowed_field_counts,
 )
@@ -60,3 +62,64 @@ def test_windowed_field_counts_batch_semantics(spark):
     second_win = by_key[("vat_id", "2025-01-01 10:05:00")]
     assert second_win["n"] == 1 and second_win["n_valid"] == 1
     assert by_key[("term", "2025-01-01 10:00:00")]["n"] == 1
+
+
+def test_sessionize_stream_gap_close(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): a >30 min gap
+    closes the open session and emits it; open sessions stay in state."""
+    events_dir = str(tmp_path / "events")
+    rows = [
+        (1, "2025-01-01 10:00:00"),
+        (1, "2025-01-01 10:10:00"),
+        (1, "2025-01-01 11:30:00"),  # 80 min gap → closes session 1
+        (2, "2025-01-01 10:05:00"),  # single open session, never closed
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(events_dir)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(events_dir)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sess_out").collect()
+    closed = {(r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+              for r in out if r["closed"]}
+    # user 1 session 1 closes via the gap; user 2's closes via the
+    # event-time TIMEOUT (final watermark 11:00 > 10:05 + 30 min).
+    # User 1's open session (11:30, timeout 12:00 > watermark) stays in
+    # state — correctly NOT emitted.
+    assert closed == {
+        (1, "2025-01-01 10:00:00", "2025-01-01 10:10:00", 2),
+        (2, "2025-01-01 10:05:00", "2025-01-01 10:05:00", 1),
+    }
+    assert all(r["closed"] for r in out)
+
+
+def test_sessionize_fn_timeout_branch():
+    """The event-time timeout path emits the open session and clears
+    state (unit-tested with a fake GroupState — the only branch a
+    finite availableNow stream can't reach deterministically)."""
+    class FakeState:
+        hasTimedOut = True
+        exists = True
+        get = (3_600_000, 3_660_000, 5)
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState()
+    frames = list(_sessionize_fn((7,), iter([]), st))
+    assert st.removed and len(frames) == 1
+    row = frames[0].iloc[0]
+    assert row["user_id"] == 7 and row["n_events"] == 5 and bool(row["closed"])
+    assert str(row["session_start"]) == "1970-01-01 01:00:00"
+    assert str(row["session_end"]) == "1970-01-01 01:01:00"
