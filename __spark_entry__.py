@@ -3,10 +3,11 @@
 entry(spark)  — flagship training-data-curation query on sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 dedup/similarity/text-analysis training-data ops).
-oracle_sql()  — matching DuckDB SQL per query (omitted only for the
-                extraction-pipeline rows-only checks, whose per-document
-                Python semantics are byte-verified by the pytest golden
-                suite instead).
+oracle_sql()  — matching DuckDB SQL for EVERY query (round 2: the
+                extraction-pipeline rows read reference-generated
+                expected parquet — tools/gen_expected_extraction.py —
+                so their hash match is reference parity, not
+                self-agreement).
 
 Implementations live in credit_ocr_backend_spark.plans.contract.
 """
