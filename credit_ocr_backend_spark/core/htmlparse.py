@@ -85,8 +85,12 @@ def _stable_unit(key: str) -> float:
 def _word_confidence(word: str, line_idx: int, word_idx: int) -> float:
     """Synthetic per-word OCR confidence in {0.90 … 0.99}, deterministic
     in the word content and its position (memoized — form labels repeat
-    at identical positions across millions of documents)."""
-    return 0.90 + int(_stable_unit(f"{word}|{line_idx}|{word_idx}") * 10) / 100.0
+    at identical positions across millions of documents). The reference's
+    round(conf, 2) is folded into the cached value (round(0.9+k/100, 2)
+    is load-bearing: 0.90+0.07 is 0.9700000000000001 unrounded)."""
+    return round(
+        0.90 + int(_stable_unit(f"{word}|{line_idx}|{word_idx}") * 10) / 100.0, 2
+    )
 
 
 class _Block:
@@ -221,12 +225,14 @@ def _assemble_tokens(
         words_by_page.setdefault(w["page"], []).append(w)
         wb = w["bounding_box"]
         if wb:
+            if len(wb) == 4:  # fast path, bit-identical to sum()/len()
+                cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
+                cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
+            else:
+                cy = sum(p["y"] for p in wb) / len(wb)
+                cx = sum(p["x"] for p in wb) / len(wb)
             centroids_by_page.setdefault(w["page"], []).append(
-                (
-                    sum(p["y"] for p in wb) / len(wb),
-                    sum(p["x"] for p in wb) / len(wb),
-                    w["confidence"],
-                )
+                (cy, cx, w["confidence"])
             )
     for page_centroids in centroids_by_page.values():
         page_centroids.sort(key=lambda t: t[0])
@@ -236,9 +242,15 @@ def _assemble_tokens(
         centroids = centroids_by_page.get(page, [])
         ykeys = [t[0] for t in centroids]
         for text, box in lines_by_page.get(page, []):
-            xs = [p["x"] for p in box]
-            ys = [p["y"] for p in box]
-            min_x, max_x, min_y, max_y = min(xs), max(xs), min(ys), max(ys)
+            if len(box) == 4:  # fast path: no list allocs for the envelope
+                x0, x1, x2, x3 = box[0]["x"], box[1]["x"], box[2]["x"], box[3]["x"]
+                y0, y1, y2, y3 = box[0]["y"], box[1]["y"], box[2]["y"], box[3]["y"]
+                min_x, max_x = min(x0, x1, x2, x3), max(x0, x1, x2, x3)
+                min_y, max_y = min(y0, y1, y2, y3), max(y0, y1, y2, y3)
+            else:
+                xs = [p["x"] for p in box]
+                ys = [p["y"] for p in box]
+                min_x, max_x, min_y, max_y = min(xs), max(xs), min(ys), max(ys)
             lo = bisect_left(ykeys, min_y)
             hi = bisect_right(ykeys, max_y)
             confs = [
@@ -286,7 +298,7 @@ def _layout_html_blocks(blocks: List[_Block]) -> Tuple[List[Tuple[str, int, List
                         {"x": x, "y": y}, {"x": wx1, "y": y},
                         {"x": wx1, "y": y}, {"x": x, "y": y},
                     ],
-                    "confidence": round(_word_confidence(word, line_idx, wi), 2),
+                    "confidence": _word_confidence(word, line_idx, wi),
                 }
             )
             x = wx1 + CHAR_W

@@ -37,18 +37,27 @@ Token = Dict[str, Any]
 def _cx(box: Optional[List[Dict[str, float]]]) -> float:
     if not box:
         return 0.0
+    if len(box) == 4:  # fast path: every real box is a 4-point polygon.
+        # Bit-identical to sum(): 0.0+x == x for the non-negative page
+        # coordinates here, and left-to-right addition order matches.
+        return (box[0]["x"] + box[1]["x"] + box[2]["x"] + box[3]["x"]) / 4
     return sum(p["x"] for p in box) / len(box)
 
 
 def _cy(box: Optional[List[Dict[str, float]]]) -> float:
     if not box:
         return 0.0
+    if len(box) == 4:
+        return (box[0]["y"] + box[1]["y"] + box[2]["y"] + box[3]["y"]) / 4
     return sum(p["y"] for p in box) / len(box)
 
 
 def _height(box: Optional[List[Dict[str, float]]]) -> float:
     if not box:
         return 0.0
+    if len(box) == 4:
+        y0, y1, y2, y3 = box[0]["y"], box[1]["y"], box[2]["y"], box[3]["y"]
+        return max(y0, y1, y2, y3) - min(y0, y1, y2, y3)
     ys = [p["y"] for p in box]
     return max(ys) - min(ys)
 
@@ -137,16 +146,17 @@ def pair_lines(
             best: Optional[Token] = None
             best_x = float("inf")
             if boxed[i]:
+                cy_i, ht_i = cys[i], hts[i]
                 for j, cand in enumerate(lines):
                     if j in used or not boxed[j]:
                         continue
                     cand_x = cxs[j]
-                    if (
-                        cx < cand_x < best_x
-                        and abs(cys[i] - cys[j]) <= max(hts[i], hts[j]) * 0.1
-                    ):
-                        best = cand
-                        best_x = cand_x
+                    if cx < cand_x < best_x:
+                        ht_j = hts[j]
+                        tallest = ht_i if ht_i > ht_j else ht_j
+                        if abs(cy_i - cys[j]) <= tallest * 0.1:
+                            best = cand
+                            best_x = cand_x
 
             if best is not None:
                 pairs.append(
