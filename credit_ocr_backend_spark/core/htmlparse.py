@@ -183,6 +183,148 @@ class _PageTokenizer(HTMLParser):
         self._current.add_text(data, self._link_depth > 0)
 
 
+# ---------------------------------------------------------------------------
+# Fast scan path: a strict-subset HTML scanner that drives the SAME
+# _PageTokenizer handler methods as html.parser would, restricted to
+# constructs where its event stream is provably identical to
+# HTMLParser(convert_charrefs=True). ANY construct outside the proven
+# subset aborts the scan and the caller re-parses the whole document
+# with the stdlib parser — correctness never depends on the fast path.
+# Why: html.parser's char-wise goahead/updatepos machinery was ~40% of
+# per-document cost; bulk text here moves with C-speed str.find/regex.
+# Equivalence is enforced by tests/test_core_htmlparse.py (fixed
+# adversarial cases + hypothesis fuzz comparing both paths) and the
+# reference-generated goldens.
+# ---------------------------------------------------------------------------
+
+# Tag-name charset exactly as html.parser's tagfind_tolerant.
+_TAGNAME_RE = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+# End-of-start-tag finder honoring quoted attribute values (so '>' inside
+# quotes doesn't end the tag — same as locatestarttagend_tolerant).
+_TAG_BODY_RE = re.compile(r"""[^>"']*(?:"[^"]*"[^>"']*|'[^']*'[^>"']*)*""")
+# Strict attribute grammar — a strict SUBSET of attrfind_tolerant, so a
+# sequential full match guarantees html.parser would produce the same
+# (name, value) pairs and the same end position. NOTE the unquoted value
+# charset includes '/' exactly like attrfind_tolerant's [^>\s]* would
+# consume it: '<a href=http://x/>' is a NORMAL start tag whose value
+# ends in '/', not a self-closing tag.
+_ATTR_RE = re.compile(
+    r"""\s+([^\s"'<>=/]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'`<>=]+)))?"""
+)
+_ENDTAG_STRICT_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_DOCTYPE_RE = re.compile(r"<!doctype[^>\[]*>", re.IGNORECASE)
+_CDATA_CONTENT = ("script", "style")  # html.parser's CDATA_CONTENT_ELEMENTS
+_CDATA_END = {
+    t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_CONTENT
+}
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_CONTENT
+}
+
+
+def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
+    """Emit the html.parser(convert_charrefs=True) event stream for ``s``
+    into ``handler`` — or return False the moment anything outside the
+    proven subset appears (caller falls back to the stdlib parser)."""
+    from html import unescape
+
+    i, n = 0, len(s)
+    find = s.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            handler.handle_data(unescape(s[i:]) if "&" in s[i:] else s[i:])
+            return True
+        if i < j:
+            run = s[i:j]
+            handler.handle_data(unescape(run) if "&" in run else run)
+        i = j
+        nxt = s[i + 1] if i + 1 < n else ""
+        if nxt == "/":
+            m = _ENDTAG_STRICT_RE.match(s, i)
+            if m:
+                handler.handle_endtag(m.group(1).lower())
+                i = m.end()
+                continue
+            m = _TAGNAME_RE.match(s, i + 2)
+            gt = find(">", i + 1)
+            if gt < 0:
+                return False  # unterminated — stdlib recovery is subtle
+            if m:  # tolerant endtag: '</div foo>' fires endtag('div')
+                handler.handle_endtag(m.group(0).lower())
+            elif s[i : i + 3] == "</>":
+                i += 3
+                continue
+            # else bogus comment '</...>': no event, skip to '>'
+            i = gt + 1
+            continue
+        if nxt == "!":
+            if s.startswith("<!--", i):
+                end = find("-->", i + 4)
+                if end < 0:
+                    return False
+                i = end + 3
+                continue
+            m = _DOCTYPE_RE.match(s, i)
+            if m:  # handle_decl is a no-op for this handler
+                i = m.end()
+                continue
+            return False  # marked sections / other declarations
+        if nxt == "?":
+            gt = find(">", i + 2)
+            if gt < 0:
+                return False
+            i = gt + 1  # handle_pi is a no-op
+            continue
+        m = _TAGNAME_RE.match(s, i + 1)
+        if not m:
+            handler.handle_data("<")  # bare '<' is literal text
+            i += 1
+            continue
+        tag = m.group(0).lower()
+        body = _TAG_BODY_RE.match(s, m.end())
+        end = body.end()
+        if end >= n or s[end] != ">":
+            return False  # unterminated start tag
+        region = s[m.end() : end]
+        # Sequential strict attr matching; whatever the grammar can't
+        # consume decides: '' → start tag, '/' → self-closing, anything
+        # else → outside the proven subset, fall back.
+        attrs = []
+        pos = 0
+        while True:
+            am = _ATTR_RE.match(region, pos)
+            if not am:
+                break
+            pos = am.end()
+            name, v1, v2, v3 = am.groups()
+            value = v1 if v1 is not None else v2 if v2 is not None else v3
+            if value is not None and "&" in value:
+                value = unescape(value)
+            attrs.append((name.lower(), value))
+        rest = region[pos:].strip()
+        if rest == "/":
+            handler.handle_startendtag(tag, attrs)
+            i = end + 1
+            continue
+        if rest != "":
+            return False
+        handler.handle_starttag(tag, attrs)
+        i = end + 1
+        if tag in _CDATA_CONTENT:
+            m2 = _CDATA_END[tag].search(s, i)
+            if not m2:
+                return False  # unterminated cdata
+            if i < m2.start():
+                handler.handle_data(s[i : m2.start()])  # raw, no unescape
+            m3 = _CDATA_CLOSE[tag].match(s, m2.start())
+            if not m3:
+                return False  # '</script foo>' etc. — let stdlib decide
+            handler.handle_endtag(tag)
+            i = m3.end()
+    return True
+
+
 def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
     """Greedy word wrap; a single over-long word still gets its own line."""
     lines: List[str] = []
@@ -395,8 +537,12 @@ def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
 
     parser = _PageTokenizer()
     try:
-        parser.feed(html)
-        parser.close()
+        if not _fast_feed(parser, html):
+            # outside the fast scanner's proven subset → authoritative
+            # stdlib parse of the WHOLE document on a fresh handler
+            parser = _PageTokenizer()
+            parser.feed(html)
+            parser.close()
     except Exception:
         return [], ""
 

@@ -143,3 +143,113 @@ def test_giant_page_is_giant_and_html() -> None:
     assert b"application/x-layout-words" not in giant["html"]
     tokens, _ = parse_page(giant["html"])
     assert max(t["page"] for t in tokens) > 1  # spills over pages
+
+
+# ---------------------------------------------------------------------------
+# Fast-scan path ≡ stdlib html.parser (whole-document fallback otherwise)
+# ---------------------------------------------------------------------------
+
+from credit_ocr_backend_spark.core import htmlparse as H  # noqa: E402
+
+
+def _both(s: str):
+    fast = H._PageTokenizer()
+    ok = H._fast_feed(fast, s)
+    std = H._PageTokenizer()
+    std.feed(s)
+    std.close()
+    return ok, fast, std
+
+
+def _sig(p: H._PageTokenizer):
+    return (
+        [
+            (b.is_chrome, b.is_row, b.text_chars, b.link_chars,
+             ["".join(parts) for parts in b.cells])
+            for b in p.blocks
+        ],
+        "".join(p.layout_words_json),
+    )
+
+
+ADVERSARIAL = [
+    "<!DOCTYPE html><p>a</p>",
+    '<a href="x>y">link</a> tail',
+    "<a href=http://x/>not self closing</a>",
+    "<div/>self<td>cell",
+    "plain < text > with & amps &amp; entities &#65;",
+    "<ScRiPt>var a = '<div>not a tag</div>';</sCrIpT ><p>after</p>",
+    "<script type=\"application/x-layout-words\">[{\"t\":\"A\",\"p\":1,"
+    "\"x\":0.5,\"y\":1.0,\"w\":0.2,\"h\":0.01,\"c\":0.97}]</script>",
+    "<style>p > a { color: red }</style><p>styled</p>",
+    "<!-- comment with <div> inside --><p>b</p>",
+    "</p foo='bar'><p>tolerant endtag</p>",
+    "</><p>empty endtag</p>",
+    "<3><p>bare bracket</p>",
+    "<br/><br /><p>breaks</p>",
+    "<P CLASS=UPPER>case</P>",
+    "<p class='sq'>sq</p>",
+    "<nav><a href=x>chrome link</a></nav><main><p>body</p></main>",
+    "<table><tr><td>k</td><td>v</td></tr></table>",
+    "text &lt;escaped&gt; more",
+    "trailing text then <",
+    "<p>unclosed paragraph",
+    "<em>inline</em> <strong>runs</strong>",
+    "<div data-x='a\"b'>mixed quotes in value</div>",
+]
+
+FALLBACK_CASES = [
+    "<!-- unterminated comment <p>x</p>",
+    "<![CDATA[raw]]><p>marked section</p>",
+    "<?php unterminated",
+    "<p attr=='double equals'>x</p>",
+    "<div =weird>y</div>",
+    "<script>never closed",
+    "<p foo=\"unterminated",
+    "<!ENTITY x 'y'><p>decl</p>",
+]
+
+
+def test_fast_scan_matches_stdlib_on_adversarial_cases() -> None:
+    for s in ADVERSARIAL:
+        ok, fast, std = _both(s)
+        assert ok, f"fast path unexpectedly refused: {s!r}"
+        assert _sig(fast) == _sig(std), s
+
+
+def test_fast_scan_falls_back_outside_subset() -> None:
+    # refusal (not divergence) is the contract for unproven constructs —
+    # parse_page then re-parses the whole document with the stdlib parser
+    for s in FALLBACK_CASES:
+        ok, _, _ = _both(s)
+        assert not ok, f"expected fallback for: {s!r}"
+        toks, text = H.parse_page(s)  # end-to-end path must still work
+        assert isinstance(toks, list) and isinstance(text, str)
+
+
+def test_fast_scan_matches_stdlib_on_generated_corpus() -> None:
+    for k in range(200):
+        html = build_page(k)["html"].decode("utf-8")
+        ok, fast, std = _both(html)
+        assert ok, f"corpus page {k} should take the fast path"
+        assert _sig(fast) == _sig(std), f"page {k}"
+
+
+def test_fast_scan_fuzz_equivalence() -> None:
+    from hypothesis import given, settings, strategies as st
+
+    frag = st.sampled_from(
+        ADVERSARIAL
+        + FALLBACK_CASES
+        + ["<div>", "</div>", "<a href='q'>", "</a>", "text ", "&amp;", "&",
+           "<", ">", '"', "'", " ", "\n", "=", "/", "<script>", "</script>",
+           "<td>", "<tr>", "x", "-->", "<!--", "<p>", "&#x41;", "&notanentity;"]
+    )
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, max_size=8).map("".join))
+    def check(s: str) -> None:
+        ok, fast, std = _both(s)
+        if ok:
+            assert _sig(fast) == _sig(std), s
+
+    check()
