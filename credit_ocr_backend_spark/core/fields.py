@@ -26,6 +26,39 @@ from typing import Any, Dict, List, Optional
 from credit_ocr_backend_spark.core.config import DocumentTypeConfig
 
 
+def extract_json_from_response(response: str) -> Dict[str, Any]:
+    """F14: parse a JSON object out of free-form LLM output
+    (field_extractor.py:138-166 semantics): take the FIRST ``` code
+    block's body if any fences are present, strip ``//`` line comments
+    (everything from the first ``//`` on each line), then ``json.loads``.
+    Raises ``ValueError`` on unparseable input, as the reference does.
+
+    The engine's pipeline replaces the LLM with the deterministic alias
+    mapper, so this is an interop utility (e.g. replaying persisted LLM
+    transcripts through the engine), not a hot-path stage."""
+    import json as _json
+
+    if "```" in response:
+        start = response.find("```")
+        if start != -1:
+            start = response.find("\n", start) + 1
+            end = response.find("```", start)
+            if end != -1:
+                response = response[start:end].strip()
+
+    lines = []
+    for line in response.split("\n"):
+        if "//" in line:
+            line = line[: line.find("//")]
+        lines.append(line)
+    response = "\n".join(lines)
+
+    try:
+        return _json.loads(response)
+    except _json.JSONDecodeError as e:
+        raise ValueError(f"Invalid JSON in response: {e}")
+
+
 def normalize_label(label: str) -> str:
     """The reference's quirky label normalizer — lowercase, drop ``?``
     and **every letter "n"**, strip (tests/test_mock_ocr_results.py:12-14,

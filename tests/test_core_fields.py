@@ -182,3 +182,37 @@ def test_evidence_fallback_to_raw_line(doc_config) -> None:
     )
     fields = result["extracted_fields"]
     assert fields["equity_share"]["value"] == "700.000€"
+
+
+def test_extract_json_from_response_matches_reference():
+    """F14 differential test: run the REFERENCE's own
+    extract_json_from_response (via the same import shims as the golden
+    generator) next to the engine's on fenced/commented/quirky inputs."""
+    import sys
+    sys.path.insert(0, "tools")
+    import gen_reference_goldens  # noqa: F401  (installs import shims)
+    from src.llm import field_extractor as ref_fx
+
+    from credit_ocr_backend_spark.core.fields import extract_json_from_response
+
+    cases = [
+        '{"a": 1, "b": [2, 3]}',
+        'Here is the result:\n```json\n{"x": {"y": "z"}}\n```\ntrailing',
+        '```\n{"k": "v"} // inline comment\n```',
+        '{"a": 1,\n // whole-line comment\n "b": 2}',
+        '{"url": "http://x"}',  # '//' inside a value is (quirkily) stripped
+        '```json{"no_newline_after_fence": 1}```',
+        "",
+        "not json at all",
+        '```json\n{"unclosed_fence": 1}',
+    ]
+    for s in cases:
+        try:
+            expected = ("ok", ref_fx.extract_json_from_response(s))
+        except Exception as exc:
+            expected = ("err", type(exc).__name__)
+        try:
+            got = ("ok", extract_json_from_response(s))
+        except Exception as exc:
+            got = ("err", type(exc).__name__)
+        assert got == expected, f"divergence on {s!r}: {got} vs {expected}"
