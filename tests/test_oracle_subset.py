@@ -33,6 +33,13 @@ SUBSET = [
     "embedding_topk",
     "customers_without_orders",
     "pricing_summary",
+    # round-2 additions
+    "sessionize",
+    "german_date_valid",
+    "video_frame_samples",
+    "viz_colors",
+    "merge_upsert",
+    "extraction_docs",
 ]
 
 
