@@ -150,6 +150,48 @@ def lsh_topk(
     return _ranked_topk(scored, k, id_col)
 
 
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Top-k per query vector for a BATCH of queries (the serving-side
+    shape: q query embeddings against an n-vector corpus in one job).
+
+    The query set broadcasts (it is small by construction); ranking is a
+    window partitioned BY QUERY ID — each query's candidates rank inside
+    their own partition, so no global single-partition sort exists
+    anywhere in the plan. Scored-row volume is n×q; at 10⁹+ vectors
+    pre-filter candidates per query with ``lsh_bucket`` equality (join
+    on bucket instead of crossJoin) to cut n to ~n/2^planes per query.
+    Returns (query_id, vec_id, cos_sim, rnk ≤ k)."""
+    from pyspark.sql.window import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("_qid"), quantize(vec_col).alias("_qv")
+        )
+    )
+    base = df.select(F.col(id_col), quantize(vec_col).alias("_v"))
+    scored = base.crossJoin(q).select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.round(
+            dot_q(F.col("_v"), F.col("_qv"))
+            / F.sqrt(
+                norm_sq_q(F.col("_v")).cast("double")
+                * norm_sq_q(F.col("_qv")).cast("double")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

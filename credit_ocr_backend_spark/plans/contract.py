@@ -715,6 +715,38 @@ def q_embedding_topk(spark, sf):
 
 
 @_register(
+    "batch_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, {_DUCK_QUANT.format(col='embedding')} AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), e AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS ev FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_duck_dot('ev', 'qv')} /
+                   sqrt(CAST({_duck_dot('ev', 'ev')} AS DOUBLE) *
+                        CAST({_duck_dot('qv', 'qv')} AS DOUBLE)), 6) AS cos_sim
+      FROM e, q
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def q_batch_topk(spark, sf):
+    """Batched multi-query top-k: broadcast query set, per-query
+    partitioned ranking (no global sort anywhere in the plan)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.batch_topk(emb, queries, k=10)
+
+
+@_register(
     "embedding_block_maxcos",
     f"""
     WITH q AS (

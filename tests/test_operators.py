@@ -130,6 +130,31 @@ def test_cosine_topk_and_quantization(spark):
     assert list(q) == [900, 100, 0]
 
 
+def test_batch_topk_per_query_ranking(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.batch_topk(emb, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        assert [r["rnk"] for r in sorted(rows, key=lambda r: r["rnk"])] == [1, 2, 3]
+        # rank 1 = an exact duplicate of the query vector (cos 1.0)
+        assert min(rows, key=lambda r: r["rnk"])["cos_sim"] == 1.0
+    # plan: the ranking window hash-partitions on query_id — never a
+    # single-partition global sort
+    plan = SIM.batch_topk(emb, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "hashpartitioning(query_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_topk_plan_is_distributed(spark):
     """The top-k must compile to TakeOrderedAndProject (per-partition
     heaps), never a single-partition sort of all scored rows — the
