@@ -973,6 +973,89 @@ def _duck_lsh_bucket(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
     """
 
 
+def _duck_lsh_bucket_expr(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
+    """The bare bucket expression over a quantized vector column qv."""
+    plane_terms = []
+    for p in range(n_planes):
+        sign = (
+            f"(CASE WHEN CAST('0x' || substr(md5('p{p}_' || i), 1, 4) AS BIGINT) "
+            f"% 2 = 0 THEN 1 ELSE -1 END)"
+        )
+        proj = f"list_sum(list_transform(range(0, {dim}), i -> qv[i + 1] * {sign}))"
+        plane_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(plane_terms)
+
+
+@_register(
+    "embedding_near_dupes_lsh",
+    f"""
+    WITH q AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, qv, {_duck_lsh_bucket_expr()} AS blk FROM q
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_duck_dot('a.qv', 'b.qv')} /
+                   sqrt(CAST({_duck_dot('a.qv', 'a.qv')} AS DOUBLE) *
+                        CAST({_duck_dot('b.qv', 'b.qv')} AS DOUBLE)), 6) AS cos_sim
+      FROM bucketed a JOIN bucketed b
+        ON a.blk = b.blk AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.3
+    """,
+)
+def q_embedding_near_dupes_lsh(spark, sf):
+    """Embedding near-dup with the LSH bucket as the block key — the
+    at-scale path round 1 only documented, now implemented and
+    oracle-checked: candidate pairs come from sign-random-projection
+    buckets (~n/2^planes per block), never an all-pairs cross join."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "lsh_blk", SIM.lsh_bucket("embedding")
+    )
+    return SIM.embedding_near_dupes(
+        emb, threshold=0.3, block_col="lsh_blk"
+    )
+
+
+@_register(
+    "dedup_verified_pairs",
+    f"""
+    WITH pairs AS ({_duck_lsh_pairs()}),
+    sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_DUCK_SHINGLES})) AS sh
+      FROM documents
+    ), sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc = p.doc_a
+      JOIN sh sb ON sb.doc = p.doc_b AND sa.sh = sb.sh
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT * FROM (
+      SELECT p.doc_a, p.doc_b,
+             round(coalesce(i.n_inter, 0) * 1.0 /
+                   (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+      JOIN sizes za ON za.doc = p.doc_a
+      JOIN sizes zb ON zb.doc = p.doc_b
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_verified_pairs(spark, sf):
+    """The full near-dup pipeline end-to-end: MinHash signatures → LSH
+    banding (mega-cluster-guarded) → exact n-gram-Jaccard verification →
+    keep pairs ≥ 0.5. This is the composition a 100 TB dedup job runs;
+    every stage is individually oracle-checked, and so is the whole."""
+    docs = _t(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    pairs = D.lsh_candidate_pairs(sigs)
+    return D.ngram_jaccard(docs, pairs, "doc_id", "text").where(
+        F.col("jaccard") >= 0.5
+    )
+
+
 @_register("lsh_bucket_histogram", _duck_lsh_bucket())
 def q_lsh_bucket_histogram(spark, sf):
     """ANN scale path: sign-random-projection bucket assignment
