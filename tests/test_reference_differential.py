@@ -143,3 +143,65 @@ def test_reference_quirk_none_confidence_raises_in_both():
     eng = _run(lambda: normalize_items(tokens))
     ref = _run(lambda: ref_post.normalize_ocr_lines(tokens))
     assert eng == ref
+
+
+# ---- scalar differentials: clean_value / validate_field ------------------
+
+from credit_ocr_backend_spark.core.fields import (  # noqa: E402
+    clean_value,
+    validate_field,
+)
+
+_VALUES = st.one_of(
+    st.sampled_from([
+        "", " ", "50.000 €", "1.234,56", "€€", "m² 85", "85 m²", "12.03.2024",
+        "2024-03-12", "1.2.2024", "[x] Ja", "[ ] Nein", "[X]", "abc", "1a2b3c",
+        "0", "-5", "00.00.0000", ".", ",", "1.000.000", "DE123456789",
+    ]),
+    st.text(
+        alphabet="0123456789.,€ m²[]xXa-", max_size=12
+    ),
+)
+_FIELD_TYPES = st.sampled_from(
+    ["string", "date", "currency", "area", "number", "boolean", "unknown"]
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_VALUES, _FIELD_TYPES)
+def test_clean_value_matches_reference(value, field_type):
+    eng = _run(lambda: clean_value(value, field_type))
+    ref = _run(lambda: ref_fx.clean_value(value, field_type))
+    assert eng == ref
+
+
+_RULES = st.builds(
+    lambda t, lo, hi, pat: {
+        k: v
+        for k, v in [("type", t), ("min", lo), ("max", hi), ("pattern", pat)]
+        if v is not None
+    },
+    st.one_of(st.none(), st.sampled_from(["number", "boolean", "date", "string"])),
+    st.one_of(st.none(), st.sampled_from([0, 1, 1000])),
+    st.one_of(st.none(), st.sampled_from([100, 10_000_000])),
+    st.one_of(st.none(), st.sampled_from([r"^\d{2}\.\d{2}\.\d{4}$", r"^DE\d{9}$", r"\d+"])),
+)
+_FIELD_DATA = st.one_of(
+    st.none(),
+    st.sampled_from(["bare-string", 42, 3.14, True]),
+    st.builds(
+        lambda v: {"value": v},
+        st.sampled_from(
+            [None, "50.000", "1.234,56", "true", "False", "xyz", 7, 0.5, "12.03.2024"]
+        ),
+    ),
+    st.just({"no_value_key": 1}),
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_FIELD_DATA, _RULES)
+def test_validate_field_matches_reference(field_data, rules):
+    eng = _run(lambda: validate_field(field_data, rules))
+    ref = _run(lambda: ref_fx.validate_field(field_data, rules))
+    assert eng == ref
