@@ -154,11 +154,20 @@ def run_pipeline(
     ts_min: Optional[str] = None,
     ts_max: Optional[str] = None,
     fail_buckets: Optional[set] = None,  # test hook: inject a chunk failure
+    max_concurrent_chunks: int = 1,
 ) -> PipelineResult:
     """Run the extraction pipeline, chunk by chunk, committing results +
     lineage per chunk. ``resume=True`` skips chunks whose lineage says
     done and recomputes only the rest; output is unchanged vs a clean
-    run (tested)."""
+    run (tested).
+
+    ``max_concurrent_chunks > 1`` submits that many chunk jobs from
+    concurrent driver threads: each chunk's tail wave and driver-side
+    commit gaps overlap with the next chunk's compute instead of leaving
+    executors idle. Chunk commits stay independent (each writes its own
+    chunk=NNNN dir and lineage fragment, both uuid-named), so failure
+    isolation and resume semantics are identical to the serial path —
+    the first failing chunk raises after in-flight chunks drain."""
     cfg = doc_config or default_config()
     par = parallelism or spark.sparkContext.defaultParallelism
     ckpt = CheckpointManager(spark, out_root)
@@ -188,11 +197,12 @@ def run_pipeline(
         (c, c * n_buckets // n_chunks, (c + 1) * n_buckets // n_chunks)
         for c in range(n_chunks)
     ]
-    for chunk_id, lo, hi in bounds:
-        if chunk_id in done_chunks:
-            result.chunks_skipped += 1
-            continue
 
+    def run_chunk(chunk_id: int, lo: int, hi: int) -> List[dict]:
+        """Process + commit one chunk; returns its per-bucket lineage
+        rows. Self-contained so chunks can run from concurrent driver
+        threads (every write is chunk-private, lineage fragments are
+        uuid-named)."""
         chunk_df = _defuse_skew(
             _input_slice(pages, n_buckets, lo, hi, ts_min, ts_max), par
         )
@@ -250,11 +260,33 @@ def run_pipeline(
         ]
         wall_ms = int((time.perf_counter() - t0) * 1000)
         ckpt.append_lineage("extracted", chunk_id, per_bucket, wall_ms, run_id)
+        return per_bucket
 
+    todo = [(c, lo, hi) for c, lo, hi in bounds if c not in done_chunks]
+    result.chunks_skipped = len(bounds) - len(todo)
+
+    def record(per_bucket: List[dict]) -> None:
         result.chunks_run += 1
         result.n_docs += sum(b["n_docs"] for b in per_bucket)
         result.n_failed += sum(b["n_failed"] for b in per_bucket)
         result.buckets_done.extend(b["bucket"] for b in per_bucket)
+
+    if max_concurrent_chunks <= 1 or len(todo) <= 1:
+        for chunk_id, lo, hi in todo:
+            record(run_chunk(chunk_id, lo, hi))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent_chunks) as pool:
+            futures = [pool.submit(run_chunk, c, lo, hi) for c, lo, hi in todo]
+            errors = []
+            for fut in futures:
+                try:
+                    record(fut.result())
+                except Exception as exc:  # drain all, then raise the first
+                    errors.append(exc)
+            if errors:
+                raise errors[0]
 
     result.wall_sec = time.perf_counter() - t_start
     return result

@@ -148,3 +148,42 @@ def test_warc_ts_pruning(spark, pages_path, tmp_path):
     pages = spark.read.parquet(pages_path)
     expected = pages.where(F.col("warc_date") < "2025-01-03").count()
     assert n == expected
+
+
+def test_concurrent_chunks_equal_serial(spark, pages_path, tmp_path):
+    """max_concurrent_chunks overlaps chunk jobs from driver threads;
+    the committed output must be row-identical to the serial path and
+    lineage must cover every chunk."""
+    o1, o2 = str(tmp_path / "serial"), str(tmp_path / "conc")
+    r1 = run_pipeline(spark, pages_path, o1, n_buckets=8, n_chunks=4)
+    r2 = run_pipeline(
+        spark, pages_path, o2, n_buckets=8, n_chunks=4, max_concurrent_chunks=3
+    )
+    assert r1.n_docs == r2.n_docs and r2.chunks_run == 4
+    d1 = spark.read.parquet(f"{o1}/docs").select(
+        "url", "status", "extracted_text", "fields_json"
+    )
+    d2 = spark.read.parquet(f"{o2}/docs").select(
+        "url", "status", "extracted_text", "fields_json"
+    )
+    assert d1.exceptAll(d2).count() == 0 and d2.exceptAll(d1).count() == 0
+    lineage = spark.read.parquet(f"{o2}/lineage")
+    assert lineage.select("chunk").distinct().count() == 4
+    # a concurrent run is resumable exactly like a serial one
+    r3 = run_pipeline(
+        spark, pages_path, o2, n_buckets=8, n_chunks=4, resume=True,
+        max_concurrent_chunks=3,
+    )
+    assert r3.chunks_skipped == 4 and r3.chunks_run == 0
+
+
+def test_concurrent_chunk_failure_drains_and_raises(spark, pages_path, tmp_path):
+    out = str(tmp_path / "conc_fail")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline(
+            spark, pages_path, out, n_buckets=8, n_chunks=4,
+            max_concurrent_chunks=2, fail_buckets={3},
+        )
+    # chunks that completed before the failure are committed + resumable
+    done = spark.read.parquet(f"{out}/lineage").select("chunk").distinct().count()
+    assert done >= 1
