@@ -46,6 +46,11 @@ def main() -> int:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--ts-min", dest="ts_min")
     parser.add_argument("--ts-max", dest="ts_max")
+    parser.add_argument("--concurrent-chunks", dest="concurrent_chunks",
+                        type=int, default=1,
+                        help="chunk jobs in flight at once (overlaps each "
+                             "chunk's tail wave and commit gaps; commits "
+                             "stay chunk-independent)")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession
@@ -81,6 +86,7 @@ def main() -> int:
         resume=args.resume,
         ts_min=args.ts_min,
         ts_max=args.ts_max,
+        max_concurrent_chunks=args.concurrent_chunks,
     )
     print(
         json.dumps(
