@@ -253,3 +253,23 @@ def test_fast_scan_fuzz_equivalence() -> None:
             assert _sig(fast) == _sig(std), s
 
     check()
+
+
+def test_fast_scan_fuzz_raw_character_soup() -> None:
+    """Harshest input class: raw character soup over HTML
+    metacharacters (not fragment concatenation). 8000-example one-off
+    run passed; 200 kept in CI."""
+    from hypothesis import given, settings, strategies as st
+
+    raw = st.text(
+        alphabet='<>/!?-="\'` \n\tabcdiv&;#xspcrt0123456789%.[]', max_size=160
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(raw)
+    def check(s: str) -> None:
+        ok, fast, std = _both(s)
+        if ok:
+            assert _sig(fast) == _sig(std), repr(s)
+
+    check()
