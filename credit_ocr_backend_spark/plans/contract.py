@@ -1280,13 +1280,13 @@ def q_extraction_docs(spark, sf):
                 WHEN c >= 0.8 THEN '#00FF00'
                 WHEN c >= 0.6 THEN '#FFFF00'
                 ELSE '#FF0000' END AS color_hex,
-           CASE WHEN c IS NULL THEN [128,128,128]
-                WHEN c >= 0.8 THEN [0,255,0]
-                WHEN c >= 0.6 THEN [255,255,0]
-                ELSE [255,0,0] END AS color_rgb,
-           CASE WHEN coalesce(c, 0.5) >= 0.8 THEN [0,255,0]
-                WHEN coalesce(c, 0.5) >= 0.6 THEN [255,165,0]
-                ELSE [255,0,0] END AS png_rgb
+           CASE WHEN c IS NULL THEN '128,128,128'
+                WHEN c >= 0.8 THEN '0,255,0'
+                WHEN c >= 0.6 THEN '255,255,0'
+                ELSE '255,0,0' END AS color_rgb,
+           CASE WHEN coalesce(c, 0.5) >= 0.8 THEN '0,255,0'
+                WHEN coalesce(c, 0.5) >= 0.6 THEN '255,165,0'
+                ELSE '255,0,0' END AS png_rgb
     FROM conf
     """,
 )
@@ -1300,11 +1300,13 @@ def q_viz_colors(spark, sf):
         (F.col("doc_id") % 100) / 100.0
     )
     docs = _t(spark, sf, "documents").select("doc_id", conf.alias("c"))
+    # rgb_csv: the driver's pandas canonicalizer can't hash list cells,
+    # so the contract emits 'r,g,b' strings (arrays stay library-side).
     return docs.select(
         "doc_id",
         viz.confidence_color("c").alias("color_hex"),
-        viz.hex_to_rgb(viz.confidence_color("c")).alias("color_rgb"),
-        viz.confidence_color_rgb("c").alias("png_rgb"),
+        viz.rgb_csv(viz.hex_to_rgb(viz.confidence_color("c"))).alias("color_rgb"),
+        viz.rgb_csv(viz.confidence_color_rgb("c")).alias("png_rgb"),
     )
 
 
@@ -1334,6 +1336,8 @@ def q_viz_draw_plan(spark, sf):
     from credit_ocr_backend_spark.sources.checkpoint import with_bucket
     from credit_ocr_backend_spark.sources.pages import generate_pages_df
 
+    from credit_ocr_backend_spark.functions.viz import rgb_csv
+
     cfg = default_config()
     pages = with_bucket(generate_pages_df(spark, 64, partitions=8), 16)
     parsed = pages.select("url", "html", "bucket").mapInPandas(
@@ -1343,7 +1347,9 @@ def q_viz_draw_plan(spark, sf):
     items = normalized.select(
         "url", F.explode(F.from_json("items_json", ITEMS_T)).alias("it")
     ).select("url", "it.*")
-    return draw_plan(items, list(cfg.field_mappings.items()))
+    plan = draw_plan(items, list(cfg.field_mappings.items()))
+    # contract output is scalar-only (driver canonicalizer limitation)
+    return plan.withColumn("color_rgb", rgb_csv("color_rgb"))
 
 
 @_register(

@@ -76,6 +76,25 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf)
+            # The driver's canonicalizer (pandas sort_values over all
+            # columns) crashes on list/struct/map cells — round-2's only
+            # red rows.  Hard-fail here so the local gate fails exactly
+            # when the driver does.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL  {name}: complex-typed output columns {complex_cols} "
+                    "(driver canonicalizer cannot hash list/struct cells — "
+                    "emit scalars, e.g. viz.rgb_csv)"
+                )
+                failures += 1
+                continue
             srows = sdf.collect()
             scols = sdf.columns
             s_sig = frame_digest(scols, [[r[c] for c in scols] for r in srows])

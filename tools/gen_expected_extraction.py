@@ -90,7 +90,9 @@ def draw_plan_rows(url: str, items, field_mappings) -> list:
                 "field_name": field_name,
                 "value": value,
                 "conf_pct": int(conf * 100 + 0.5),
-                "color_rgb": color,
+                # scalar 'r,g,b' — the driver's pandas canonicalizer
+                # cannot hash list cells (round-3 fix)
+                "color_rgb": ",".join(str(c) for c in color),
                 "anchor_x": points[0][0],
                 "anchor_y": points[0][1],
             }
@@ -164,7 +166,7 @@ def main() -> None:
             ("field_name", pa.string()),
             ("value", pa.string()),
             ("conf_pct", pa.int32()),
-            ("color_rgb", pa.list_(pa.int32())),
+            ("color_rgb", pa.string()),
             ("anchor_x", pa.int32()),
             ("anchor_y", pa.int32()),
         ]
