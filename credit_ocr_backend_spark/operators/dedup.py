@@ -199,6 +199,82 @@ def oversized_band_buckets(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs — the canonicalization
+    step after pair verification: (doc, cluster_rep) with cluster_rep =
+    min doc id in the component (deterministic survivor choice, the
+    same one-row-per-document invariant the reference's schema enforces,
+    /root/reference/schema.sql:15-24).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbours; converges in
+    O(component diameter) rounds.  The LSH mega-cluster star-reduction
+    (:func:`lsh_candidate_pairs`) keeps giant clusters connected through
+    a single representative, so their diameter is ≤ 2 and the loop exits
+    after 2-3 rounds regardless of cluster size.  Each round is one
+    shuffle join + one partial-aggregated groupBy; ``localCheckpoint``
+    truncates lineage so the plan stays constant-size across rounds
+    (without it round k replays rounds 1..k-1).
+
+    At 10^12-doc scale, swap plain propagation for alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — identical per-round plan shape
+    (join + min-agg), provably O(log n) rounds on adversarial chains;
+    this loop is the same skeleton.  The convergence check is one
+    ``count()`` of changed labels per round — a scalar, not a collect.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr, labels["doc"] == nbr["src"], "left")
+            .select(
+                "doc",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc", "label")
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_rep"))
+
+
+def canonical_keep_list(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-one-per-cluster: drop every cluster member except its
+    representative; documents in no cluster survive untouched.  The
+    anti-join's right side is only the NON-canonical members (the
+    duplicates being removed) — at realistic dup rates a small fraction
+    of the corpus, so AQE broadcasts it and the big side never shuffles.
+    """
+    losers = clusters.where(F.col("doc") != F.col("cluster_rep")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard(
     df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
