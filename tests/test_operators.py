@@ -250,3 +250,34 @@ def test_canonical_keep_list_no_clusters(spark):
     docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
     empty = spark.createDataFrame([], "doc long, cluster_rep long")
     assert D.canonical_keep_list(docs, empty).count() == 8
+
+
+def test_batch_topk_lsh_plan_and_recall(spark):
+    """batch_topk_lsh must join on bucket equality (hash/broadcast-hash
+    join), never a BroadcastNestedLoopJoin/CartesianProduct — that's the
+    whole point of the prefilter. Recall vs exact is >0 and each query's
+    own vector ranks first (cos=1.0 in its own bucket)."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = SIM.batch_topk_lsh(emb, queries, k=5, n_planes=4)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    exact_rows = SIM.batch_topk(emb, queries, k=5).collect()
+    approx_rows = approx.collect()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    got = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    assert got, "LSH prefilter returned nothing"
+    # self-match: every query finds itself at rank 1
+    self_hits = {r["query_id"] for r in approx_rows if r["vec_id"] == r["query_id"] and r["rnk"] == 1}
+    assert self_hits == {0, 50, 100, 150}
+    assert len(got & exact) / len(exact) > 0.2  # recall floor (4 planes, tiny corpus)
