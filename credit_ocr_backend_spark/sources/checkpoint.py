@@ -19,6 +19,14 @@ After each chunk commits, one lineage parquet fragment is appended
 (pyarrow, driver-side — one row per bucket; no Spark job for metadata).
 Resume = skip chunks whose lineage rows exist with status done.
 
+All metadata I/O (manifest, lineage fragments, chunk swaps) goes
+through the Hadoop FileSystem API — the same client Spark's own
+writers use — so an ``out_root`` on any Hadoop-supported scheme
+(``file://``, ``hdfs://``, ``s3a://`` with the aws jars, ...) keeps
+resume state on the SAME store as the data. A scheme with no loadable
+FileSystem implementation still fails fast at construction (the
+round-1 silent-divorce bug stays an explicit error).
+
 On Iceberg the same layout is ``bucket(url, N)`` hidden partitioning +
 ``overwritePartitions()``; plain parquet directories reproduce the
 mechanics faithfully for this sandbox.
@@ -27,6 +35,7 @@ mechanics faithfully for this sandbox.
 from __future__ import annotations
 
 import os
+import tempfile
 import time
 import uuid
 from typing import List, Optional, Set
@@ -46,26 +55,77 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
+class _Fs:
+    """Scheme-generic filesystem ops via ``org.apache.hadoop.fs`` (the
+    JVM client Spark itself writes through, reached over py4j). Local
+    paths resolve to LocalFileSystem; object stores resolve to whatever
+    implementation the classpath provides. One deliberate non-goal:
+    atomic rename on stores that lack it (S3) — the chunk-swap protocol
+    below recovers from any interrupted window instead of assuming
+    rename atomicity."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._conf = spark._jsc.hadoopConfiguration()
+        try:
+            self.fs = self._Path(root).getFileSystem(self._conf)
+        except Exception as exc:  # unknown scheme / missing connector jar
+            raise ValueError(
+                f"out_root '{root}' has no usable Hadoop FileSystem "
+                f"implementation ({exc}); provide the connector jars, "
+                f"mount the store, or use a file:// / local out_root."
+            ) from exc
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self._Path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self._Path(p))
+
+    def delete(self, p: str) -> None:
+        self.fs.delete(self._Path(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self.fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def list_names(self, p: str) -> List[str]:
+        if not self.exists(p):
+            return []
+        return [st.getPath().getName() for st in self.fs.listStatus(self._Path(p))]
+
+    def write_bytes(self, p: str, data: bytes) -> None:
+        out = self.fs.create(self._Path(p), True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+
+    def read_bytes(self, p: str) -> bytes:
+        stream = self.fs.open(self._Path(p))
+        try:
+            bos = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 65536, False)
+            return bytes(bos.toByteArray())
+        finally:
+            stream.close()
+
+    def put_local(self, local_src: str, dst: str) -> None:
+        """Upload a driver-local file (deletes the local source)."""
+        self.fs.copyFromLocalFile(True, True, self._Path(local_src), self._Path(dst))
+
+
 class CheckpointManager:
     """Filesystem layout:
     ``{root}/{table}/chunk=NNNN/part-*.parquet`` for stage tables and
-    ``{root}/lineage/part-*.parquet`` (append-only fragments)."""
+    ``{root}/lineage/part-*.parquet`` (append-only fragments). ``root``
+    may carry any scheme the Hadoop classpath supports."""
 
     def __init__(self, spark: SparkSession, root: str) -> None:
-        # Lineage/manifest I/O uses driver-local filesystem APIs; an
-        # object-store root would silently split data (s3) from resume
-        # state (a junk local 's3:/...' dir). Fail fast until lineage is
-        # routed through fsspec/Hadoop FileSystem.
-        scheme = root.split("://", 1)[0] if "://" in root else ""
-        if scheme and scheme != "file":
-            raise ValueError(
-                f"CheckpointManager requires a local out_root (got scheme "
-                f"'{scheme}://'): lineage/manifest are written with local "
-                f"filesystem APIs. Mount the store or use a file:// path."
-            )
         self.spark = spark
-        self.root = root[len("file://"):] if root.startswith("file://") else root
-        self.root = self.root.rstrip("/")
+        self.root = root.rstrip("/")
+        self._fs = _Fs(spark, self.root)
         self.lineage_dir = f"{self.root}/lineage"
         self.manifest_path = f"{self.root}/run_manifest.json"
 
@@ -78,19 +138,19 @@ class CheckpointManager:
         input window differ from the committed run."""
         import json
 
-        os.makedirs(self.root, exist_ok=True)
+        self._fs.mkdirs(self.root)
         tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(params, f, sort_keys=True, indent=2)
-        os.replace(tmp, self.manifest_path)
+        self._fs.write_bytes(tmp, json.dumps(params, sort_keys=True, indent=2).encode())
+        if self._fs.exists(self.manifest_path):
+            self._fs.delete(self.manifest_path)
+        self._fs.rename(tmp, self.manifest_path)
 
     def read_manifest(self) -> Optional[dict]:
         import json
 
-        if not os.path.isfile(self.manifest_path):
+        if not self._fs.exists(self.manifest_path):
             return None
-        with open(self.manifest_path, encoding="utf-8") as f:
-            return json.load(f)
+        return json.loads(self._fs.read_bytes(self.manifest_path).decode("utf-8"))
 
     def check_manifest(self, params: dict) -> None:
         """Refuse a resume whose parameters differ from the committed
@@ -116,8 +176,8 @@ class CheckpointManager:
     # -- lineage ----------------------------------------------------------
 
     def lineage(self) -> Optional[DataFrame]:
-        if not os.path.isdir(self.lineage_dir) or not any(
-            name.endswith(".parquet") for name in os.listdir(self.lineage_dir)
+        if not any(
+            name.endswith(".parquet") for name in self._fs.list_names(self.lineage_dir)
         ):
             return None
         try:
@@ -161,10 +221,11 @@ class CheckpointManager:
         wall_ms: int,
         run_id: str,
     ) -> None:
-        """One fragment per commit — append-only, crash-safe (written to
-        a temp name, renamed into place). Lineage is driver-side
-        metadata (one row per bucket), written directly with pyarrow
-        instead of paying a Spark job per commit.
+        """One fragment per commit — append-only, crash-safe (staged as
+        a driver-local temp file, then uploaded through the Hadoop
+        FileSystem; readers glob ``*.parquet`` so a crashed upload is
+        invisible). Lineage is driver-side metadata (one row per
+        bucket) — no Spark job per commit.
 
         An empty chunk (e.g. everything pruned by the warc_ts filter)
         still records one sentinel row (bucket = -1) so resume can skip
@@ -174,7 +235,7 @@ class CheckpointManager:
 
         if not per_bucket:
             per_bucket = [{"bucket": -1, "n_docs": 0, "n_failed": 0, "cpu_ms": 0.0}]
-        os.makedirs(self.lineage_dir, exist_ok=True)
+        self._fs.mkdirs(self.lineage_dir)
         finished_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         table = pa.table(
             {
@@ -191,9 +252,10 @@ class CheckpointManager:
             }
         )
         fragment = f"{self.lineage_dir}/part-{run_id}-{uuid.uuid4().hex[:8]}.parquet"
-        tmp = fragment + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, fragment)
+        fd, local_tmp = tempfile.mkstemp(suffix=".parquet")
+        os.close(fd)
+        pq.write_table(table, local_tmp)
+        self._fs.put_local(local_tmp, fragment)
 
     # -- stage tables -------------------------------------------------------
 
@@ -204,7 +266,41 @@ class CheckpointManager:
         df.write.mode("overwrite").parquet(self._chunk_path(name, chunk))
 
     def read_chunk(self, name: str, chunk: int) -> DataFrame:
+        self._recover_chunk(name, chunk)
         return self.spark.read.parquet(self._chunk_path(name, chunk))
+
+    def _recover_chunk(self, name: str, chunk: int) -> None:
+        """Repair any window an interrupted :meth:`upsert_chunk` swap can
+        leave behind (ADVICE round 2: between the two renames the chunk
+        directory does not exist). The swap protocol is
+        merged→staging, live→retired, staging→live, drop retired;
+        every crash point is distinguishable from the three markers:
+
+        * live exists  → any leftover staging is a pre-swap attempt
+          (discard; the upsert was never acknowledged) and any leftover
+          retired is post-swap debris (discard);
+        * live missing + staging complete (``_SUCCESS``) → crash between
+          the renames: finish the swap;
+        * live missing + staging incomplete → crash mid-write after the
+          retire (shouldn't occur under the current ordering, kept as a
+          catch-all): restore the retired original.
+        """
+        path = self._chunk_path(name, chunk)
+        staging, retired = path + ".staging", path + ".old"
+        if self._fs.exists(path):
+            if self._fs.exists(staging):
+                self._fs.delete(staging)
+            if self._fs.exists(retired):
+                self._fs.delete(retired)
+            return
+        if self._fs.exists(staging) and self._fs.exists(f"{staging}/_SUCCESS"):
+            self._fs.rename(staging, path)
+            if self._fs.exists(retired):
+                self._fs.delete(retired)
+        elif self._fs.exists(retired):
+            if self._fs.exists(staging):
+                self._fs.delete(staging)
+            self._fs.rename(retired, path)
 
     def upsert_chunk(
         self, df: DataFrame, name: str, chunk: int, keys: List[str]
@@ -220,21 +316,23 @@ class CheckpointManager:
             WHEN NOT MATCHED THEN INSERT *
 
         ; on plain parquet the merged relation is recomputed and swapped
-        in atomically (staging dir + rename), so readers never observe a
-        half-written chunk."""
-        import shutil
-
+        in via staging + two renames. The window between the renames is
+        NOT atomic — a crash there leaves the chunk directory absent —
+        but every window is repaired by :meth:`_recover_chunk`, which
+        runs before each read and each upsert, so no committed data is
+        ever stranded."""
+        self._recover_chunk(name, chunk)
         path = self._chunk_path(name, chunk)
-        if not os.path.isdir(path):
+        if not self._fs.exists(path):
             df.write.mode("overwrite").parquet(path)
             return
         merged = merge_upsert(self.spark.read.parquet(path), df, keys)
         staging = path + ".staging"
         merged.write.mode("overwrite").parquet(staging)
         retired = path + ".old"
-        os.rename(path, retired)
-        os.rename(staging, path)
-        shutil.rmtree(retired)
+        self._fs.rename(path, retired)
+        self._fs.rename(staging, path)
+        self._fs.delete(retired)
 
     def read(self, name: str) -> DataFrame:
         """Whole stage table across chunks; ``chunk`` becomes a

@@ -9,12 +9,14 @@ Cluster usage (north rule packaging):
         --ts-min 2025-01-01 --ts-max 2025-02-01 \
         --buckets 4096 --chunks 64 [--resume]
 
-NOTE: --pages may be any Spark-readable URI (s3/hdfs/...), but --out
-must be a driver-local (or mounted) path: chunk lineage and the run
-manifest are written with local filesystem APIs, and CheckpointManager
-fails fast on an object-store out_root rather than silently divorcing
-resume state from data (routing lineage through fsspec/Hadoop
-FileSystem is the documented extension point).
+Both --pages and --out accept any URI whose scheme has a Hadoop
+FileSystem implementation on the classpath (file://, hdfs://, s3a://
+with the aws connector jars, ...): chunk data is written by Spark and
+lineage/manifest go through the same Hadoop FileSystem client, so
+resume state always lands on the same store as the data.
+CheckpointManager still fails fast at startup for a scheme with no
+loadable FileSystem (e.g. s3:// without jars) rather than silently
+divorcing resume state from data.
 
 Local smoke:
 

@@ -97,16 +97,84 @@ def test_resume_refuses_mismatched_parameters(spark, tmp_path):
     assert res.chunks_skipped == 2 and res.chunks_run == 0
 
 
-def test_object_store_out_root_rejected(spark, tmp_path):
-    """Lineage/manifest are driver-local writes; an s3:// out_root would
-    silently split resume state from data — fail fast instead."""
+def test_object_store_out_root_fail_fast_without_connector(spark, tmp_path):
+    """Metadata I/O is scheme-generic (Hadoop FileSystem), but a scheme
+    with no loadable implementation on the classpath must still fail
+    fast at construction — never silently split resume state from
+    data. This sandbox has no s3 connector jars, so s3:// exercises
+    exactly that path."""
     from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
 
-    with pytest.raises(ValueError, match="local out_root"):
+    with pytest.raises(ValueError, match="no usable Hadoop FileSystem"):
         CheckpointManager(spark, "s3://bucket/extract")
-    # file:// is accepted and normalized to a local path
-    mgr = CheckpointManager(spark, f"file://{tmp_path}/ok")
-    assert mgr.root == f"{tmp_path}/ok"
+
+
+def test_checkpoint_file_scheme_roundtrip(spark, tmp_path):
+    """The Hadoop-FS code path end-to-end on an explicit file:// scheme
+    URI (the scheme-generic route an hdfs:///s3a:// out_root takes):
+    manifest write/read/check, lineage append + done_chunks, chunk
+    write/read and MERGE upsert all through one CheckpointManager."""
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, f"file://{tmp_path}/ckpt")
+    assert mgr.root == f"file://{tmp_path}/ckpt"
+
+    params = {"n_buckets": 4, "n_chunks": 2, "mode": "test"}
+    mgr.write_manifest(params)
+    assert mgr.read_manifest() == params
+    mgr.check_manifest(params)  # same params: ok
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        mgr.check_manifest({**params, "n_buckets": 8})
+
+    mgr.append_lineage("extracted", 0, [{"bucket": 0, "n_docs": 3, "n_failed": 0, "cpu_ms": 1.0}], 10, "runA")
+    mgr.append_lineage("extracted", 1, [], 5, "runA")  # empty-chunk sentinel
+    assert mgr.done_chunks("extracted") == {0, 1}
+    assert -1 in mgr.done_buckets("extracted")
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    mgr.write_chunk(base, "docs", 0)
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    mgr.upsert_chunk(upd, "docs", 0, ["k"])
+    got = {r["k"]: r["v"] for r in mgr.read_chunk("docs", 0).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_upsert_crash_window_recovery(spark, tmp_path):
+    """ADVICE round 2: a crash between the two swap renames leaves the
+    chunk directory absent while lineage says done. _recover_chunk must
+    repair every window before the next read/upsert."""
+    import os
+    import shutil
+
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "rec"))
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    mgr.write_chunk(base, "docs", 0)
+    path = mgr._chunk_path("docs", 0)
+
+    # window 1: staging complete, live retired, swap not finished
+    upd = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    from credit_ocr_backend_spark.sources.checkpoint import merge_upsert
+
+    merge_upsert(spark.read.parquet(path), upd, ["k"]).write.mode("overwrite").parquet(path + ".staging")
+    os.rename(path, path + ".old")  # simulate crash right here
+    got = {r["k"]: r["v"] for r in mgr.read_chunk("docs", 0).collect()}
+    assert got == {1: "A", 2: "b"}
+    assert not os.path.exists(path + ".staging") and not os.path.exists(path + ".old")
+
+    # window 2: crash after swap, retired not yet dropped
+    shutil.copytree(path, path + ".old")
+    got = {r["k"]: r["v"] for r in mgr.read_chunk("docs", 0).collect()}
+    assert got == {1: "A", 2: "b"}
+    assert not os.path.exists(path + ".old")
+
+    # window 3: incomplete staging (no _SUCCESS), live retired → restore original
+    os.makedirs(path + ".staging")
+    open(path + ".staging/part-broken.parquet", "w").close()
+    os.rename(path, path + ".old")
+    got = {r["k"]: r["v"] for r in mgr.read_chunk("docs", 0).collect()}
+    assert got == {1: "A", 2: "b"}
 
 
 def test_null_html_recorded_as_failed(spark, tmp_path):
