@@ -92,6 +92,34 @@ class PipelineResult:
         return self.n_docs / self.wall_sec if self.wall_sec else 0.0
 
 
+def _checked_ts(spark: SparkSession, bound: str, name: str) -> str:
+    """Normalize/validate a time bound before it reaches to_timestamp.
+
+    Coarse bounds are padded to full timestamps with the semantics a
+    string-prefix compare used to give: '2025-01' → '2025-01-01
+    00:00:00'. Anything to_timestamp still can't parse fails FAST
+    instead of NULLing every predicate and committing empty chunks."""
+    b = bound.strip()
+    if len(b) == 7 and b[4] == "-":  # YYYY-MM
+        b = b + "-01"
+    if len(b) == 4 and b.isdigit():  # YYYY
+        b = b + "-01-01"
+    # try_to_timestamp: NULL on malformed input even under ANSI mode
+    # (plain to_timestamp would throw mid-job instead, losing the
+    # actionable message; non-ANSI sessions would silently NULL).
+    parsed = spark.sql(
+        "SELECT try_to_timestamp(?) AS t", args=[b]
+    ).first()["t"]
+    if parsed is None:
+        raise ValueError(
+            f"{name}={bound!r} does not parse as a timestamp — the "
+            f"predicate would evaluate NULL for every row and the run "
+            f"would commit empty chunks as done. Use YYYY[-MM[-DD"
+            f"[ HH:MM[:SS]]]]."
+        )
+    return b
+
+
 def _input_slice(
     pages: DataFrame,
     n_buckets: int,
@@ -108,10 +136,15 @@ def _input_slice(
     # time) PLUS the exact timestamp predicate on warc_ts — so bounds
     # like '2025-01-10T12:00' keep Jan 10's partition but cut rows at
     # the exact timestamp instead of silently coarsening to whole days.
+    # Bounds are validated up front (_checked_ts): a malformed bound
+    # would make to_timestamp NULL, every predicate NULL, and the chunk
+    # would commit as done with ZERO docs (ADVICE round 2).
     if ts_min is not None:
+        ts_min = _checked_ts(pages.sparkSession, ts_min, "ts_min")
         df = df.where(F.col("warc_date") >= F.lit(ts_min[:10]))
         df = df.where(F.col("warc_ts") >= F.to_timestamp(F.lit(ts_min)))
     if ts_max is not None:
+        ts_max = _checked_ts(pages.sparkSession, ts_max, "ts_max")
         df = df.where(F.col("warc_date") <= F.lit(ts_max[:10]))
         df = df.where(F.col("warc_ts") < F.to_timestamp(F.lit(ts_max)))
     df = with_bucket(df.select("url", "html"), n_buckets)
@@ -278,15 +311,24 @@ def run_pipeline(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max_concurrent_chunks) as pool:
-            futures = [pool.submit(run_chunk, c, lo, hi) for c, lo, hi in todo]
-            errors = []
-            for fut in futures:
+            futures = {
+                pool.submit(run_chunk, c, lo, hi): c for c, lo, hi in todo
+            }
+            errors: List[tuple] = []
+            for fut, chunk_id in futures.items():
                 try:
                     record(fut.result())
-                except Exception as exc:  # drain all, then raise the first
-                    errors.append(exc)
+                except Exception as exc:  # drain all, then raise together
+                    errors.append((chunk_id, exc))
             if errors:
-                raise errors[0]
+                # Surface EVERY failed chunk, not just the first (ADVICE
+                # round 2: suppressed tracebacks). ExceptionGroup keeps
+                # all tracebacks; the message lists the failed chunks.
+                raise ExceptionGroup(
+                    f"{len(errors)} chunk(s) failed: "
+                    f"{sorted(c for c, _ in errors)}",
+                    [e for _, e in errors],
+                )
 
     result.wall_sec = time.perf_counter() - t_start
     return result

@@ -84,10 +84,31 @@ def _sessionize_fn(key, pdf_iter, state):
     """applyInPandasWithState body: fold this trigger's events for one
     user into the open-session state; emit a row per CLOSED session
     (gap exceeded or event-time timeout). Runs Arrow-batched per key —
-    no per-row Python outside this generator."""
+    no per-row Python outside this generator.
+
+    Ordering contract (ADVICE round 2): a key's trigger data may arrive
+    split across Arrow batches, and the watermark only bounds how OLD an
+    event can be — it does not order events relative to the open-session
+    state. So all batches are concatenated and sorted globally, then
+    merged with the state explicitly:
+
+    * ts within [start, last] of the open session → densifies it (n+1);
+    * ts before the open session within the gap → extends session_start
+      backward;
+    * ts before the open session beyond the gap → folds into its own
+      earlier session(s), emitted closed (chronologically they precede
+      the open session and are gap-separated from it);
+    * ts after last → the usual forward fold.
+
+    Known approximation (inherent to O(1) per-user state): an earlier
+    session emitted closed this trigger cannot merge with even-later
+    stragglers in a FUTURE trigger; such stragglers fragment into their
+    own session. The window for this is bounded by the watermark.
+    """
     import pandas as pd
 
     (user_id,) = key
+    gap_ms = SESSION_GAP_S * 1000
 
     def row(start_ms, end_ms, n, closed):
         return {
@@ -109,19 +130,41 @@ def _sessionize_fn(key, pdf_iter, state):
     if state.exists:
         start_ms, last_ms, n = state.get
 
-    out = []
+    # one global sort across ALL batches for this key
+    all_ts = []
     for pdf in pdf_iter:
-        # event-time order within the trigger; across triggers the
-        # watermark guarantees no event older than (wm) arrives
-        for ts in sorted(pdf["ts"]):
-            ts_ms = int(ts.value // 1_000_000)
-            if last_ms is not None and ts_ms - last_ms > SESSION_GAP_S * 1000:
-                out.append(row(start_ms, last_ms, n, True))
-                start_ms, n = ts_ms, 0
-            if start_ms is None:
-                start_ms = ts_ms
-            last_ms = ts_ms
-            n += 1
+        all_ts.extend(int(ts.value // 1_000_000) for ts in pdf["ts"])
+    all_ts.sort()
+
+    out = []
+    if start_ms is not None and all_ts:
+        pre = [t for t in all_ts if t < start_ms]
+        n += sum(1 for t in all_ts if start_ms <= t <= last_ms)
+        rest = [t for t in all_ts if t > last_ms]
+        if pre:
+            p_start = p_last = pre[0]
+            p_n = 1
+            for t in pre[1:]:
+                if t - p_last > gap_ms:
+                    out.append(row(p_start, p_last, p_n, True))
+                    p_start, p_n = t, 0
+                p_last = t
+                p_n += 1
+            if start_ms - p_last <= gap_ms:
+                start_ms, n = p_start, n + p_n  # extend backward
+            else:
+                out.append(row(p_start, p_last, p_n, True))
+    else:
+        rest = all_ts
+
+    for ts_ms in rest:
+        if last_ms is not None and ts_ms - last_ms > gap_ms:
+            out.append(row(start_ms, last_ms, n, True))
+            start_ms, n = ts_ms, 0
+        if start_ms is None:
+            start_ms = ts_ms
+        last_ms = ts_ms
+        n += 1
 
     if last_ms is not None:
         state.update((start_ms, last_ms, n))

@@ -223,3 +223,30 @@ def test_ts_bounds_are_timestamp_precise(spark, tmp_path):
     )
     docs = spark.read.parquet(f"{out}/docs")
     assert res.n_docs == 2 == docs.count()  # 09:00 and 15:00 only
+
+
+def test_malformed_ts_bound_fails_fast(spark, tmp_path):
+    """ADVICE round 2: a bound to_timestamp can't parse must raise at
+    submit time — never NULL out the predicate and commit empty chunks
+    as done. Coarse bounds (YYYY-MM / YYYY) are padded, not rejected."""
+    pages = str(tmp_path / "pages_ts")
+    p = build_page(0)
+    spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], "", p["lang"])],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).withColumn("warc_date", F.date_format("warc_ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("warc_date").parquet(pages)
+
+    with pytest.raises(ValueError, match="does not parse as a timestamp"):
+        run_pipeline(
+            spark, pages, str(tmp_path / "o_bad"), n_buckets=2, n_chunks=1,
+            ts_min="not-a-date",
+        )
+
+    # coarse month bound: padded to the month's first instant, still runs
+    res = run_pipeline(
+        spark, pages, str(tmp_path / "o_coarse"), n_buckets=2, n_chunks=1,
+        ts_min="2020-01", ts_max="2030-01",
+    )
+    assert res.n_docs == 1

@@ -179,11 +179,14 @@ def test_concurrent_chunks_equal_serial(spark, pages_path, tmp_path):
 
 def test_concurrent_chunk_failure_drains_and_raises(spark, pages_path, tmp_path):
     out = str(tmp_path / "conc_fail")
-    with pytest.raises(RuntimeError, match="injected failure"):
+    # All chunk failures surface together (ExceptionGroup), none swallowed
+    with pytest.raises(ExceptionGroup, match="chunk") as ei:
         run_pipeline(
             spark, pages_path, out, n_buckets=8, n_chunks=4,
             max_concurrent_chunks=2, fail_buckets={3},
         )
+    assert all(isinstance(e, RuntimeError) for e in ei.value.exceptions)
+    assert any("injected failure" in str(e) for e in ei.value.exceptions)
     # chunks that completed before the failure are committed + resumable
     done = spark.read.parquet(f"{out}/lineage").select("chunk").distinct().count()
     assert done >= 1

@@ -123,3 +123,69 @@ def test_sessionize_fn_timeout_branch():
     assert row["user_id"] == 7 and row["n_events"] == 5 and bool(row["closed"])
     assert str(row["session_start"]) == "1970-01-01 01:00:00"
     assert str(row["session_end"]) == "1970-01-01 01:01:00"
+
+
+def _fake_open_state(start_ms, last_ms, n):
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+        get = (start_ms, last_ms, n)
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, t):
+            self.updated = t
+
+        def setTimeoutTimestamp(self, t):
+            self.timeout = t
+
+    return FakeState()
+
+
+def test_sessionize_fn_cross_batch_and_late_events():
+    """ADVICE round 2: events split across Arrow batches and arriving
+    out of order relative to the open-session state must be merged
+    globally — no regressed last_ms, no spurious session splits."""
+    import pandas as pd
+
+    def pdf(ts_list):
+        return pd.DataFrame({"ts": [pd.Timestamp(t, unit="ms") for t in ts_list]})
+
+    GAP = 1800 * 1000
+
+    # Open session [100_000, 160_000], 3 events.
+    # Batch A carries a LATE event inside the span (120_000 → densify)
+    # and a forward event; batch B carries an even later-timestamped
+    # event that belongs BETWEEN them — only a global sort folds these
+    # correctly.
+    st = _fake_open_state(100_000, 160_000, 3)
+    frames = list(
+        _sessionize_fn((1,), iter([pdf([120_000, 200_000]), pdf([180_000])]), st)
+    )
+    assert frames == []  # nothing closed
+    assert st.updated == (100_000, 200_000, 6)
+    assert st.timeout == 200_000 + GAP
+
+    # Late event within the gap BEFORE session start → extends backward.
+    st = _fake_open_state(10 * GAP, 10 * GAP + 1000, 2)
+    list(_sessionize_fn((1,), iter([pdf([10 * GAP - 5000])]), st))
+    assert st.updated == (10 * GAP - 5000, 10 * GAP + 1000, 3)
+
+    # Late events gap-separated from the open session → their own
+    # CLOSED earlier session; open session untouched.
+    st = _fake_open_state(10 * GAP, 10 * GAP + 1000, 2)
+    frames = list(_sessionize_fn((1,), iter([pdf([1000])]), st))
+    assert len(frames) == 1
+    r = frames[0].iloc[0]
+    assert int(r["n_events"]) == 1 and bool(r["closed"])
+    assert st.updated == (10 * GAP, 10 * GAP + 1000, 2)
+
+    # Regression guard: a later batch with an older-but-in-gap event
+    # must NOT regress last_ms (the original bug: last_ms followed raw
+    # batch order).
+    st = _fake_open_state(0, 60_000, 2)
+    list(_sessionize_fn((1,), iter([pdf([90_000]), pdf([70_000])]), st))
+    assert st.updated == (0, 90_000, 4)
+    assert st.timeout == 90_000 + GAP
