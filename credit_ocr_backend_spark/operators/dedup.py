@@ -150,7 +150,15 @@ def lsh_candidate_pairs(
         "_rep", F.min("doc").over(w)
     )
 
-    small = counted.where(F.col("_c") <= max_bucket)
+    # hint("merge"): pin the self-join to sort-merge. At test scale AQE
+    # flips this join to broadcast-hash, which splits the two sides onto
+    # DIFFERENT exchanges (broadcast vs shuffle) and recomputes the whole
+    # signature subtree per side (+19% wall, measured in BENCH/PLANS.md
+    # round 3). SMJ keeps both sides on the same (band_id, band_hash)
+    # shuffle+sort the window guard already paid for — and is the only
+    # viable plan at corpus scale anyway (neither side of a 10^12-doc
+    # banding is broadcastable), so the tested plan IS the at-scale plan.
+    small = counted.where(F.col("_c") <= max_bucket).hint("merge")
     left = small.alias("l")
     right = small.alias("r")
     all_pairs = left.join(
