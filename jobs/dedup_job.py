@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for corpus deduplication: the full
+MinHash → LSH banding → exact-Jaccard verify → connected components →
+keep-list chain, checkpointed per stage and resumable.
+
+Cluster usage (same packaging as extract_job):
+
+    cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark
+    spark-submit --py-files /tmp/engine.zip jobs/dedup_job.py \
+        --docs hdfs://corpus/documents --out hdfs://corpus/dedup \
+        --id-col doc_id --text-col text --jaccard 0.5 [--resume]
+
+Local smoke:
+
+    python jobs/dedup_job.py --docs /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/dedup_out
+
+Unlike the extraction pipeline (embarrassingly parallel per bucket,
+chunked by bucket range), dedup stages are GLOBAL joins — so the unit
+of recovery here is the STAGE, not a bucket chunk: each stage commits
+its full output as one parquet table plus a lineage row, and --resume
+re-reads committed stages instead of recomputing them. At 10^12 docs
+every stage is shuffle-bound and restart-from-last-stage is exactly
+the recovery granularity you want (re-running "verify" must not redo
+"signatures").
+
+Stages (each a committed table under --out):
+
+    signatures      (doc, mh0..mh7)          one explode + 8 min-aggs
+    candidate_pairs (doc_a, doc_b)           banding equi-join, star guard
+    verified_pairs  (doc_a, doc_b, jaccard)  exact n-gram Jaccard >= tau
+    clusters        (doc, cluster_rep)       connected components
+    keep_list       (<id-col>)               one survivor per cluster
+
+The job prints ONE JSON line: per-stage rows, dropped-doc count, wall.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+STAGES = ["signatures", "candidate_pairs", "verified_pairs", "clusters", "keep_list"]
+
+
+def run_dedup(
+    spark,
+    docs_path: str,
+    out_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard: float = 0.5,
+    resume: bool = False,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from credit_ocr_backend_spark.operators import dedup as D
+    from credit_ocr_backend_spark.sources.checkpoint import (
+        CheckpointManager,
+        new_run_id,
+    )
+
+    ckpt = CheckpointManager(spark, out_root)
+    manifest = {
+        "job": "dedup",
+        "docs_path": docs_path,
+        "id_col": id_col,
+        "text_col": text_col,
+        "jaccard": jaccard,
+    }
+    if resume:
+        ckpt.check_manifest(manifest)
+    else:
+        ckpt.write_manifest(manifest)
+    run_id = new_run_id()
+    done = ckpt.done_chunks("dedup") if resume else set()
+    t_start = time.perf_counter()
+    counts: dict = {}
+
+    def commit(stage: str, df) -> None:
+        t0 = time.perf_counter()
+        ckpt.write_chunk(df, stage, 0)
+        n = ckpt.read_chunk(stage, 0).count()
+        counts[stage] = n
+        ckpt.append_lineage(
+            "dedup",
+            STAGES.index(stage),
+            [{"bucket": STAGES.index(stage), "n_docs": n, "n_failed": 0,
+              "cpu_ms": 0.0}],
+            int((time.perf_counter() - t0) * 1000),
+            run_id,
+        )
+
+    def have(stage: str) -> bool:
+        if STAGES.index(stage) in done:
+            counts[stage] = ckpt.read_chunk(stage, 0).count()
+            return True
+        return False
+
+    docs = spark.read.parquet(docs_path)
+
+    if not have("signatures"):
+        commit("signatures", D.minhash_signatures(docs, id_col, text_col))
+    sigs = ckpt.read_chunk("signatures", 0)
+
+    if not have("candidate_pairs"):
+        commit("candidate_pairs", D.lsh_candidate_pairs(sigs))
+    pairs = ckpt.read_chunk("candidate_pairs", 0)
+
+    if not have("verified_pairs"):
+        verified = D.ngram_jaccard(docs, pairs, id_col, text_col).where(
+            F.col("jaccard") >= jaccard
+        )
+        commit("verified_pairs", verified)
+    verified = ckpt.read_chunk("verified_pairs", 0)
+
+    if not have("clusters"):
+        commit("clusters", D.duplicate_clusters(verified.select("doc_a", "doc_b")))
+    clusters = ckpt.read_chunk("clusters", 0)
+
+    if not have("keep_list"):
+        keep = D.canonical_keep_list(docs.select(id_col), clusters, id_col)
+        commit("keep_list", keep)
+
+    n_docs = docs.count()
+    return {
+        "metric": "dedup_pipeline",
+        "n_docs": n_docs,
+        "stages": counts,
+        "n_dropped": n_docs - counts["keep_list"],
+        "resumed_stages": sorted(done),
+        "wall_sec": round(time.perf_counter() - t_start, 3),
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", required=True, help="documents table (parquet)")
+    parser.add_argument("--out", required=True, help="output root")
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--jaccard", type=float, default=0.5)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--cpus", type=int,
+                        default=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
+    args = parser.parse_args()
+
+    from credit_ocr_backend_spark.plans.session import get_spark
+
+    spark = get_spark("dedup-job", parallelism=args.cpus)
+    summary = run_dedup(
+        spark, args.docs, args.out,
+        id_col=args.id_col, text_col=args.text_col,
+        jaccard=args.jaccard, resume=args.resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

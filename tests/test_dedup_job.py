@@ -1,0 +1,75 @@
+"""End-to-end corpus dedup job: full chain to the keep-list, stage
+checkpointing, and resume (jobs/dedup_job.py)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from jobs.dedup_job import run_dedup  # noqa: E402
+
+from credit_ocr_backend_spark.plans.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("dedup-job-tests", parallelism=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """9 docs: a 3-clone cluster, a 2-clone cluster (one clone lightly
+    edited but Jaccard >= 0.5), and 4 unique docs."""
+    base_a = "the quick brown fox jumps over the lazy dog again and again every day"
+    base_b = "completely different text about corpus deduplication at petabyte scale works"
+    rows = [
+        (0, base_a),
+        (1, base_a),
+        (2, base_a),
+        (3, base_b),
+        (4, base_b + " now"),
+        (5, "unique five " + "alpha beta gamma delta epsilon zeta"),
+        (6, "unique six " + "one two three four five six seven"),
+        (7, "unique seven " + "red orange yellow green blue indigo"),
+        (8, "unique eight " + "north south east west up down"),
+    ]
+    path = str(tmp_path_factory.mktemp("corpus") / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_dedup_job_end_to_end(spark, corpus, tmp_path):
+    out = str(tmp_path / "dedup_out")
+    summary = run_dedup(spark, corpus, out)
+    assert summary["n_docs"] == 9
+    # clusters: {0,1,2} -> rep 0 and {3,4} -> rep 3
+    clusters = {
+        r["doc"]: r["cluster_rep"]
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert clusters == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/keep_list").collect()}
+    assert kept == {0, 3, 5, 6, 7, 8}
+    assert summary["n_dropped"] == 3
+    assert summary["stages"]["keep_list"] == 6
+
+
+def test_dedup_job_resume_skips_committed_stages(spark, corpus, tmp_path):
+    out = str(tmp_path / "dedup_resume")
+    first = run_dedup(spark, corpus, out)
+    assert first["resumed_stages"] == []
+    again = run_dedup(spark, corpus, out, resume=True)
+    # every stage was committed -> all five resumed, same final answer
+    assert again["resumed_stages"] == [0, 1, 2, 3, 4]
+    assert again["stages"] == first["stages"]
+    # mismatched parameters refuse to resume (manifest check)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_dedup(spark, corpus, out, resume=True, jaccard=0.9)
