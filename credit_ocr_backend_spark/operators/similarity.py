@@ -200,6 +200,7 @@ def batch_topk_lsh(
     vec_col: str = "embedding",
     qid_col: str = "query_id",
     n_planes: int = N_PLANES,
+    probes: int = 0,
 ) -> DataFrame:
     """The at-scale variant of :func:`batch_topk` (round-2 judge item 4):
     instead of crossJoin-scoring all n×q (corpus, query) combinations,
@@ -209,14 +210,31 @@ def batch_topk_lsh(
     bucket is missed; measured recall vs the exact path is reported in
     BENCH/PLANS.md.  Ranking is the same per-query window (map-side
     WindowGroupLimit, no global sort).  Returns
-    (query_id, vec_id, cos_sim, rnk ≤ k)."""
+    (query_id, vec_id, cos_sim, rnk ≤ k).
+
+    ``probes`` enables MULTI-PROBE: each query additionally joins the
+    buckets at Hamming distance 1 from its own (first ``probes`` plane
+    bits flipped), trading candidate volume (×(1+probes)/2^planes) for
+    recall — the neighbours most likely to be missed sit just across
+    one hyperplane.  The probe fan-out happens on the tiny broadcast
+    query side (q×(1+probes) rows); the corpus side is untouched, and
+    distinct probe buckets mean a corpus row matches a query at most
+    once, so no dedup pass is needed."""
     from pyspark.sql.window import Window
 
+    probes = min(max(probes, 0), n_planes)
+    q_base = queries.select(
+        F.col(qid_col).alias("_qid"),
+        quantize(vec_col).alias("_qv"),
+        lsh_bucket(vec_col, n_planes).alias("_qb0"),
+    )
+    probe_buckets = F.array(
+        F.col("_qb0"),
+        *[F.col("_qb0").bitwiseXOR(F.lit(1 << p)) for p in range(probes)],
+    )
     q = F.broadcast(
-        queries.select(
-            F.col(qid_col).alias("_qid"),
-            quantize(vec_col).alias("_qv"),
-            lsh_bucket(vec_col, n_planes).alias("_qb"),
+        q_base.select(
+            "_qid", "_qv", F.explode(probe_buckets).alias("_qb")
         )
     )
     base = df.select(

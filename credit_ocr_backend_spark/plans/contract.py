@@ -1055,6 +1055,47 @@ def q_batch_topk_lsh(spark, sf):
     return SIM.batch_topk_lsh(emb, queries, k=10)
 
 
+@_register(
+    "batch_topk_lsh_probe",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, qv AS ev, {_duck_lsh_bucket_expr()} AS blk FROM e
+    ), q0 AS (
+      SELECT vec_id AS query_id, ev AS qvv, blk AS qblk
+      FROM bucketed WHERE vec_id % 100 = 0
+    ), q AS (
+      SELECT query_id, qvv,
+             unnest([qblk, {", ".join(f"xor(qblk, {1 << p})" for p in range(SIM.N_PLANES))}]) AS qblk
+      FROM q0
+    ), scored AS (
+      SELECT q.query_id, b.vec_id,
+             round({_duck_dot('ev', 'qvv')} /
+                   sqrt(CAST({_duck_dot('ev', 'ev')} AS DOUBLE) *
+                        CAST({_duck_dot('qvv', 'qvv')} AS DOUBLE)), 6) AS cos_sim
+      FROM bucketed b JOIN q ON b.blk = q.qblk
+    )
+    SELECT query_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+)
+def q_batch_topk_lsh_probe(spark, sf):
+    """Multi-probe variant: every query also joins its Hamming-1
+    neighbour buckets (all 8 single-plane flips) — candidate volume
+    ×9/256 of the corpus instead of ×1/256, recovering the recall lost
+    to near-hyperplane neighbours.  The probe fan-out lives on the tiny
+    broadcast query side only."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.batch_topk_lsh(emb, queries, k=10, probes=SIM.N_PLANES)
+
+
 def _duck_verified_pairs() -> str:
     return f"""
     WITH pairs AS ({_duck_lsh_pairs()}),

@@ -281,3 +281,26 @@ def test_batch_topk_lsh_plan_and_recall(spark):
     self_hits = {r["query_id"] for r in approx_rows if r["vec_id"] == r["query_id"] and r["rnk"] == 1}
     assert self_hits == {0, 50, 100, 150}
     assert len(got & exact) / len(exact) > 0.2  # recall floor (4 planes, tiny corpus)
+
+
+def test_batch_topk_lsh_multiprobe_superset(spark):
+    """probes>0 must only ADD candidates (Hamming-1 buckets) — the
+    probe-0 result set per query is a subset; plan stays a hash join."""
+    import random
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 300  # rank-unbounded: compare candidate SETS, not top-k cutoffs
+    base = SIM.batch_topk_lsh(emb, queries, k=k, n_planes=4, probes=0)
+    probed = SIM.batch_topk_lsh(emb, queries, k=k, n_planes=4, probes=4)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    b = {(r["query_id"], r["vec_id"]) for r in base.collect()}
+    p = {(r["query_id"], r["vec_id"]) for r in probed.collect()}
+    assert b <= p and len(p) > len(b)
