@@ -812,6 +812,92 @@ def q_token_counts(spark, sf):
     )
 
 
+_DUCK_UNIT = (
+    "(CAST('0x' || substr(md5('{seed}:' || CAST({key} AS VARCHAR)), 1, 8) "
+    "AS BIGINT) / 4294967296.0)"
+)
+
+
+@_register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_UNIT.format(seed='s0', key='doc_id')} < 0.25
+    """,
+)
+def q_deterministic_sample(spark, sf):
+    """Content-keyed reproducible sampling: the keep decision is a pure
+    md5 function of the row key — stable under repartitioning, resume,
+    and engine swap (unlike df.sample's partition-seeded RNG). A
+    stateless filter: pushes to the scan, no shuffle."""
+    from credit_ocr_backend_spark.operators import sampling as SP
+
+    return SP.deterministic_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"), 0.25, "doc_id"
+    )
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_DUCK_UNIT.format(seed='s0', key='doc_id')} <
+          CASE WHEN lang = 'de' THEN 1.0
+               WHEN lang = 'en' THEN 0.1
+               WHEN lang = 'fr' THEN 0.5
+               ELSE 0.0 END
+    """,
+)
+def q_stratified_sample(spark, sf):
+    """Per-stratum deterministic sampling (language rebalancing: keep
+    all German, 10% English, half French, drop the rest). Rate lookup is
+    a codegen when-chain, no join."""
+    from credit_ocr_backend_spark.operators import sampling as SP
+
+    return SP.stratified_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        "lang",
+        {"de": 1.0, "en": 0.1, "fr": 0.5},
+        "doc_id",
+    )
+
+
+@_register(
+    "token_shards",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS INT) AS bucket
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM toks
+    )
+    SELECT doc_id, bucket,
+           CAST(floor((c - n_tokens) / 2000.0) AS INT) AS shard,
+           CAST(c - n_tokens AS BIGINT) AS shard_tokens_before
+    FROM cum
+    """,
+)
+def q_token_shards(spark, sf):
+    """Training-shard assignment by cumulative token budget — packed
+    WITHIN md5 hash buckets so the cumsum window stays partitioned (a
+    global cumsum would serialize the corpus through one partition).
+    Shard identity = (bucket, shard)."""
+    from credit_ocr_backend_spark.operators import sampling as SP
+    from credit_ocr_backend_spark.operators import textstats as TT
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", TT.token_count_ws("text").alias("n_tokens")
+    )
+    return SP.token_shards(d, "n_tokens", 2000, "doc_id", n_buckets=8).select(
+        "doc_id", "bucket", "shard", "shard_tokens_before"
+    )
+
+
 def _duck_lang_case() -> str:
     hits = {
         lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"

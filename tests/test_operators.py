@@ -304,3 +304,58 @@ def test_batch_topk_lsh_multiprobe_superset(spark):
     b = {(r["query_id"], r["vec_id"]) for r in base.collect()}
     p = {(r["query_id"], r["vec_id"]) for r in probed.collect()}
     assert b <= p and len(p) > len(b)
+
+
+# ---------------------------------------------------------------------------
+# sampling / sharding (round-3 training-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from credit_ocr_backend_spark.operators import sampling as SP
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in SP.deterministic_sample(df, 0.3, "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(df.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert a == b  # partition-independent (df.sample would differ)
+    assert 0.25 < len(a) / 2000 < 0.35
+    # different seed -> different (but still deterministic) choice
+    c = {r["doc_id"] for r in SP.deterministic_sample(df, 0.3, "doc_id", seed="s1").collect()}
+    assert c != a
+
+
+def test_stratified_sample_rates(spark):
+    from credit_ocr_backend_spark.operators import sampling as SP
+
+    rows = [(i, "keep" if i % 2 else "drop") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = SP.stratified_sample(df, "stratum", {"keep": 1.0}, "doc_id").collect()
+    assert {r["stratum"] for r in out} == {"keep"}
+    assert len(out) == 1000  # rate 1.0 keeps every row of the stratum
+
+
+def test_token_shards_budget_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from credit_ocr_backend_spark.operators import sampling as SP
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).alias("n_tokens")
+    )
+    out = SP.token_shards(df, "n_tokens", 300, "doc_id", n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 500
+    # exclusive prefix < budget: every doc STARTS inside its shard's budget
+    assert all(r["shard_tokens_before"] < (r["shard"] + 1) * 300 for r in rows)
+    assert all(r["shard_tokens_before"] >= r["shard"] * 300 for r in rows)
+    # shards contiguous from 0 within each bucket
+    from collections import defaultdict
+
+    per_bucket = defaultdict(set)
+    for r in rows:
+        per_bucket[r["bucket"]].add(r["shard"])
+    for shards in per_bucket.values():
+        assert shards == set(range(max(shards) + 1))
