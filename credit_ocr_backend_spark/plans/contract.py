@@ -1074,9 +1074,8 @@ def _duck_lsh_bucket_expr(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
     return " + ".join(plane_terms)
 
 
-@_register(
-    "embedding_near_dupes_lsh",
-    f"""
+def _duck_embedding_pairs() -> str:
+    return f"""
     WITH q AS (
       SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
     ), bucketed AS (
@@ -1090,8 +1089,10 @@ def _duck_lsh_bucket_expr(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
       FROM bucketed a JOIN bucketed b
         ON a.blk = b.blk AND a.vec_id < b.vec_id
     ) WHERE cos_sim >= 0.3
-    """,
-)
+    """
+
+
+@_register("embedding_near_dupes_lsh", _duck_embedding_pairs())
 def q_embedding_near_dupes_lsh(spark, sf):
     """Embedding near-dup with the LSH bucket as the block key — the
     at-scale path round 1 only documented, now implemented and
@@ -1103,6 +1104,37 @@ def q_embedding_near_dupes_lsh(spark, sf):
     return SIM.embedding_near_dupes(
         emb, threshold=0.3, block_col="lsh_blk"
     )
+
+
+@_register(
+    "embedding_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_duck_embedding_pairs()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc, min(label) AS cluster_rep FROM reach GROUP BY node
+    """,
+)
+def q_embedding_dedup_clusters(spark, sf):
+    """Operator composition across modalities: the SAME connected-
+    components canonicalizer that resolves text duplicate pairs resolves
+    embedding-cosine near-dup pairs (LSH-blocked) into clusters — the
+    semantic-dedup keep-list path for an embedding-indexed corpus."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "lsh_blk", SIM.lsh_bucket("embedding")
+    )
+    pairs = SIM.embedding_near_dupes(emb, threshold=0.3, block_col="lsh_blk").select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return D.duplicate_clusters(pairs)
 
 
 @_register(
