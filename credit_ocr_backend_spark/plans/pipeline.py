@@ -153,6 +153,18 @@ def _input_slice(
     ).select("url", "html", "bucket")
 
 
+def _bulk_waves(parallelism: int) -> int:
+    """Task waves for the bulk branch, scaled with slot count: the
+    straggler tail is the MAX of N concurrent task durations, which
+    grows with N — more slots need finer waves to smooth it, while at
+    low parallelism extra waves are pure scheduling overhead. Measured
+    (160k docs, BENCH/PLANS.md round 3): 8 waves beat 4 by ~10% at
+    local[32] but LOSE ~10% at local[8]; 4 waves is the local[8]
+    optimum. Capped at 16 so a 1000-executor job doesn't explode into
+    sliver tasks."""
+    return max(4, min(parallelism // 4, 16))
+
+
 def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
     """Uniform row-level repartition on url-hash for the bulk (bucket
     ids clump under hash-partitioning; raw rows don't). Giant documents
@@ -164,7 +176,7 @@ def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
     size = F.coalesce(F.length("html"), F.lit(0))
     bulk = (
         df.where(size <= GIANT_HTML_BYTES)
-        .repartition(parallelism * 4, F.xxhash64("url"))  # fine waves → tight tail
+        .repartition(parallelism * _bulk_waves(parallelism), F.xxhash64("url"))
     )
     giants = (
         df.where(size > GIANT_HTML_BYTES)
