@@ -114,7 +114,18 @@ def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
     Semantics per field_extractor.py:235-297 — including the asymmetries:
     range checks apply only when type == "number" and silently pass on
     unparseable values; pattern checks use ``re.match`` (anchored at
-    start only, NOT fullmatch)."""
+    start only, NOT fullmatch).
+
+    Preserved quirk (caught by the randomized differential, round 3):
+    the reference REBINDS its local to the German-normalized string
+    inside each number check ("1.234,56" → "1234.56"), and each later
+    check re-normalizes the REBOUND value — so with type=number the
+    min/max comparison parses the value normalized TWICE ("1234.56" →
+    "123456" → 123456.0, a 100× shift whenever the original had both a
+    thousands dot and a decimal comma) and the pattern check matches
+    against the mutated string, not the original. Checks are therefore
+    deliberately SEQUENTIAL here, threading one mutable value through,
+    exactly like the reference."""
     result: Dict[str, Any] = {"is_valid": True, "errors": []}
 
     if not isinstance(value, dict) or "value" not in value:
@@ -127,7 +138,9 @@ def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
     expected_type = rules.get("type")
     if expected_type == "number":
         try:
-            _as_german_float(field_value)
+            if isinstance(field_value, str):
+                field_value = field_value.replace(".", "").replace(",", ".")
+            float(field_value)
         except (ValueError, TypeError):
             result["is_valid"] = False
             result["errors"].append("Value must be a number")
@@ -139,7 +152,9 @@ def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
 
     if "min" in rules and rules.get("type") == "number":
         try:
-            if _as_german_float(field_value) < rules["min"]:
+            if isinstance(field_value, str):
+                field_value = field_value.replace(".", "").replace(",", ".")
+            if float(field_value) < rules["min"]:
                 result["is_valid"] = False
                 result["errors"].append(f"Value must be at least {rules['min']}")
         except (ValueError, TypeError):
@@ -147,7 +162,9 @@ def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
 
     if "max" in rules and rules.get("type") == "number":
         try:
-            if _as_german_float(field_value) > rules["max"]:
+            if isinstance(field_value, str):
+                field_value = field_value.replace(".", "").replace(",", ".")
+            if float(field_value) > rules["max"]:
                 result["is_valid"] = False
                 result["errors"].append(f"Value must be at most {rules['max']}")
         except (ValueError, TypeError):
