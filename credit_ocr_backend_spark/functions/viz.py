@@ -110,16 +110,23 @@ def field_name_for_label(
     """Canonical field name for a free-text label: first alias (in
     field_mappings DECLARATION order) whose normalized form is contained
     in the normalized label, else NULL (pdf_visualizer.py:139-146).
-    Compiles to one when-chain — no Python on the hot path."""
+
+    Compiles to ONE flat CaseWhen (when().when()... — first match wins
+    = declaration order), not a nested when/otherwise tower: a 37-alias
+    nested chain inlines the 4-function normalizer into every branch
+    and blows janino's 64 KB method limit, silently dropping the whole
+    stage to interpreted eval. The flat form lets codegen split
+    branches into sub-methods and CSE the normalizer."""
     from credit_ocr_backend_spark.core.fields import normalize_label
 
     norm = _norm_label_col(F.col(label) if isinstance(label, str) else label)
-    chain = F.lit(None).cast("string")
-    # build the when-chain back-to-front so earlier aliases win
-    for alias, eng in reversed(list(field_mappings)):
-        alias_norm = normalize_label(alias)
-        chain = F.when(norm.contains(F.lit(alias_norm)), F.lit(eng)).otherwise(chain)
-    return chain
+    chain = None
+    for alias, eng in field_mappings:
+        cond = norm.contains(F.lit(normalize_label(alias)))
+        chain = F.when(cond, F.lit(eng)) if chain is None else chain.when(cond, F.lit(eng))
+    if chain is None:
+        return F.lit(None).cast("string")
+    return chain.otherwise(F.lit(None).cast("string"))
 
 
 def items_with_boxes_by_page(items: DataFrame) -> DataFrame:
