@@ -99,15 +99,6 @@ def clean_value(value: str, field_type: str) -> Any:
     return value
 
 
-def _as_german_float(value: Any) -> float:
-    """German number normalization used by validate_field
-    (field_extractor.py:254-257): '.' thousands separators dropped,
-    ',' becomes the decimal point. Raises on non-numeric input."""
-    if isinstance(value, str):
-        value = value.replace(".", "").replace(",", ".")
-    return float(value)
-
-
 def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
     """Validate one extracted field against its rules.
 

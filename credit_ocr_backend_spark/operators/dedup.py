@@ -214,21 +214,24 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     same one-row-per-document invariant the reference's schema enforces,
     /root/reference/schema.sql:15-24).
 
-    Iterative min-label propagation: every node repeatedly adopts the
-    smallest label among itself and its neighbours; converges in
-    O(component diameter) rounds.  The LSH mega-cluster star-reduction
-    (:func:`lsh_candidate_pairs`) keeps giant clusters connected through
-    a single representative, so their diameter is ≤ 2 and the loop exits
-    after 2-3 rounds regardless of cluster size.  Each round is one
-    shuffle join + one partial-aggregated groupBy; ``localCheckpoint``
-    truncates lineage so the plan stays constant-size across rounds
-    (without it round k replays rounds 1..k-1).
+    Iterative min-label propagation with pointer jumping: every round
+    each node adopts the smallest label among itself and its
+    neighbours, then additionally jumps to its label's OWN label
+    (label ← label[label]).  The jump halves path lengths, so even an
+    adversarial chain component converges in O(log diameter) rounds —
+    min-propagation alone needs O(diameter), which silently under-merges
+    long gradual-drift near-dup chains when the budget runs out.  The
+    LSH mega-cluster star-reduction (:func:`lsh_candidate_pairs`)
+    additionally keeps giant clusters at diameter ≤ 2.  Each round is
+    two shuffle joins + one partial-aggregated groupBy;
+    ``localCheckpoint`` truncates lineage so the plan stays
+    constant-size across rounds (without it round k replays rounds
+    1..k-1).  The same shape Kiveris et al. ("Connected Components in
+    MapReduce and Beyond", SoCC'14) prove out for MapReduce CC.
 
-    At 10^12-doc scale, swap plain propagation for alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14) — identical per-round plan shape
-    (join + min-agg), provably O(log n) rounds on adversarial chains;
-    this loop is the same skeleton.  The convergence check is one
+    Raises ``RuntimeError`` if the iteration budget is exhausted before
+    the labels reach a fixpoint — a wrong (split) clustering must never
+    be returned as if it were final.  The convergence check is one
     ``count()`` of changed labels per round — a scalar, not a collect.
     """
     edges = (
@@ -250,21 +253,42 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
-            labels.join(nbr, labels["doc"] == nbr["src"], "left")
+        stepped = labels.join(nbr, labels["doc"] == nbr["src"], "left").select(
+            "doc",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label[label]. Labels are always node
+        # ids (mins over node ids), so the self-join matches; left +
+        # coalesce only guards the degenerate empty frame.
+        refs = stepped.select(
+            F.col("doc").alias("ref"), F.col("label").alias("ref_label")
+        )
+        jumped = (
+            stepped.join(refs, stepped["label"] == refs["ref"], "left")
             .select(
                 "doc",
-                F.col("label").alias("old_label"),
+                "old_label",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("ref_label", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.where(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("doc", "label")
+        changed = jumped.where(F.col("label") != F.col("old_label")).count()
+        labels = jumped.select("doc", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within {max_iterations} "
+            f"rounds (last round still relabelled {changed} node(s)); "
+            f"returning would silently split clusters. Raise "
+            f"max_iterations — with pointer jumping the budget covers "
+            f"component diameters up to ~2^{max_iterations}."
+        )
     return labels.select("doc", F.col("label").alias("cluster_rep"))
 
 

@@ -32,16 +32,25 @@ from pyspark.sql.window import Window
 _HASH_SPAN = float(1 << 32)
 
 
+def _md5_long(prefix: str, key: Column) -> Column:
+    """First 8 md5-hex nibbles of ``prefix || key`` as a uniform long in
+    [0, 2^32) — the one cross-engine hash primitive every sampling
+    decision derives from. Any change here MUST be mirrored in the
+    DuckDB oracle form ``CAST('0x'||substr(md5(prefix||key),1,8) AS
+    BIGINT)``; keeping a single copy is what keeps the mirrors in
+    lockstep."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
 def uniform_unit(key: Column, seed: str = "s0") -> Column:
     """Deterministic uniform [0,1) from a key column — md5-based, so
     DuckDB reproduces it bit-for-bit:
     ``CAST('0x'||substr(md5(seed||':'||key),1,8) AS BIGINT)/2^32``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    return h / F.lit(_HASH_SPAN)
+    return _md5_long(f"{seed}:", key) / F.lit(_HASH_SPAN)
 
 
 def deterministic_sample(
@@ -89,14 +98,7 @@ def token_shards(
     the PAIR (bucket, shard): per-bucket windows keep the sort
     partitioned — a single global cumsum window would serialize the
     whole corpus through one partition."""
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("shard:"), F.col(key_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_buckets),
-    ).cast("int")
+    bucket = F.pmod(_md5_long("shard:", F.col(key_col)), F.lit(n_buckets)).cast("int")
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col(key_col))

@@ -98,7 +98,12 @@ def _checked_ts(spark: SparkSession, bound: str, name: str) -> str:
     Coarse bounds are padded to full timestamps with the semantics a
     string-prefix compare used to give: '2025-01' → '2025-01-01
     00:00:00'. Anything to_timestamp still can't parse fails FAST
-    instead of NULLing every predicate and committing empty chunks."""
+    instead of NULLing every predicate and committing empty chunks.
+
+    Returns the CANONICAL form (the parsed timestamp rendered back as
+    'YYYY-MM-DD HH:MM:SS[.ffffff]'), so every spelling of the same
+    instant — '2024', '2024-01-01', '2024-01-01T00:00:00' — pins the
+    identical value into the run manifest and resumes cleanly."""
     b = bound.strip()
     if len(b) == 7 and b[4] == "-":  # YYYY-MM
         b = b + "-01"
@@ -117,7 +122,10 @@ def _checked_ts(spark: SparkSession, bound: str, name: str) -> str:
             f"would commit empty chunks as done. Use YYYY[-MM[-DD"
             f"[ HH:MM[:SS]]]]."
         )
-    return b
+    canon = parsed.strftime("%Y-%m-%d %H:%M:%S")
+    if parsed.microsecond:
+        canon += f".{parsed.microsecond:06d}"
+    return canon
 
 
 def _input_slice(
@@ -136,15 +144,14 @@ def _input_slice(
     # time) PLUS the exact timestamp predicate on warc_ts — so bounds
     # like '2025-01-10T12:00' keep Jan 10's partition but cut rows at
     # the exact timestamp instead of silently coarsening to whole days.
-    # Bounds are validated up front (_checked_ts): a malformed bound
-    # would make to_timestamp NULL, every predicate NULL, and the chunk
-    # would commit as done with ZERO docs (ADVICE round 2).
+    # Bounds arrive pre-validated/normalized (run_pipeline runs
+    # _checked_ts ONCE at submit time): a malformed bound would make
+    # to_timestamp NULL, every predicate NULL, and the chunk would
+    # commit as done with ZERO docs (ADVICE round 2).
     if ts_min is not None:
-        ts_min = _checked_ts(pages.sparkSession, ts_min, "ts_min")
         df = df.where(F.col("warc_date") >= F.lit(ts_min[:10]))
         df = df.where(F.col("warc_ts") >= F.to_timestamp(F.lit(ts_min)))
     if ts_max is not None:
-        ts_max = _checked_ts(pages.sparkSession, ts_max, "ts_max")
         df = df.where(F.col("warc_date") <= F.lit(ts_max[:10]))
         df = df.where(F.col("warc_ts") < F.to_timestamp(F.lit(ts_max)))
     df = with_bucket(df.select("url", "html"), n_buckets)
@@ -218,6 +225,17 @@ def run_pipeline(
     ckpt = CheckpointManager(spark, out_root)
     run_id = new_run_id()
     pages = spark.read.parquet(pages_path)
+
+    # Validate/normalize the time bounds ONCE at submit time — before
+    # the manifest is pinned and before any chunk is scheduled — so a
+    # malformed bound is one immediate error, not N identical failures
+    # out of concurrent chunk threads (and the manifest pins the
+    # normalized form, so '2025-01' and '2025-01-01 00:00:00' resume
+    # as the same committed window).
+    if ts_min is not None:
+        ts_min = _checked_ts(spark, ts_min, "ts_min")
+    if ts_max is not None:
+        ts_max = _checked_ts(spark, ts_max, "ts_max")
 
     # Chunk identity = these parameters. The manifest pins them so a
     # resume under different values fails fast instead of silently

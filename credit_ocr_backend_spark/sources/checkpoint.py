@@ -149,6 +149,21 @@ class CheckpointManager:
         import json
 
         if not self._fs.exists(self.manifest_path):
+            # A crash between write_manifest's delete and rename leaves
+            # the (fully written) .tmp stranded while the manifest is
+            # gone — finish the swap instead of mistaking a committed
+            # run for a fresh one. A .tmp that doesn't parse is a crash
+            # DURING the tmp write; the real manifest was still present
+            # then, so reaching here means nothing was committed: drop it.
+            tmp = self.manifest_path + ".tmp"
+            if self._fs.exists(tmp):
+                try:
+                    params = json.loads(self._fs.read_bytes(tmp).decode("utf-8"))
+                except ValueError:
+                    self._fs.delete(tmp)
+                    return None
+                self._fs.rename(tmp, self.manifest_path)
+                return params
             return None
         return json.loads(self._fs.read_bytes(self.manifest_path).decode("utf-8"))
 
@@ -157,7 +172,17 @@ class CheckpointManager:
         run (ADVICE round 1: silent chunk-identity drift)."""
         committed = self.read_manifest()
         if committed is None:
-            # legacy run without a manifest: record it now
+            if self.lineage() is not None:
+                # Committed chunks with no manifest: the chunk-identity
+                # parameters of the committed work are unknowable, so
+                # adopting the CURRENT params would re-enable the silent
+                # drift this check exists to prevent.
+                raise ValueError(
+                    f"{self.root} has committed lineage but no run "
+                    f"manifest ({self.manifest_path}); cannot verify the "
+                    f"resume parameters match the committed run. Rerun "
+                    f"fresh (resume=False) or restore the manifest."
+                )
             self.write_manifest(params)
             return
         diffs = {
@@ -255,7 +280,11 @@ class CheckpointManager:
         fd, local_tmp = tempfile.mkstemp(suffix=".parquet")
         os.close(fd)
         pq.write_table(table, local_tmp)
-        self._fs.put_local(local_tmp, fragment)
+        # Upload under a non-.parquet name, then rename into place: a
+        # crash mid-upload must not leave a truncated *.parquet that the
+        # lineage glob would pick up and choke on at every later resume.
+        self._fs.put_local(local_tmp, fragment + ".tmp")
+        self._fs.rename(fragment + ".tmp", fragment)
 
     # -- stage tables -------------------------------------------------------
 
@@ -336,7 +365,15 @@ class CheckpointManager:
 
     def read(self, name: str) -> DataFrame:
         """Whole stage table across chunks; ``chunk`` becomes a
-        discovered partition column usable for pruning."""
+        discovered partition column usable for pruning. Any
+        ``chunk=NNNN.old`` / ``.staging`` debris from an interrupted
+        upsert swap is repaired first — partition discovery would
+        otherwise list the debris as its own partition value and
+        double-count the chunk."""
+        for entry in self._fs.list_names(f"{self.root}/{name}"):
+            base, dot, suffix = entry.rpartition(".")
+            if dot and suffix in ("old", "staging") and base.startswith("chunk="):
+                self._recover_chunk(name, int(base.split("=", 1)[1]))
         return self.spark.read.option("basePath", f"{self.root}/{name}").parquet(
             f"{self.root}/{name}"
         )

@@ -250,3 +250,96 @@ def test_malformed_ts_bound_fails_fast(spark, tmp_path):
         ts_min="2020-01", ts_max="2030-01",
     )
     assert res.n_docs == 1
+
+
+def test_manifest_crash_window_recovery(spark, tmp_path):
+    """A crash between write_manifest's delete and rename strands a
+    complete .tmp while the manifest is gone; read_manifest must finish
+    the swap instead of mistaking the committed run for a fresh one
+    (which would silently re-enable parameter drift)."""
+    import json
+    import os
+
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "mrec")
+    mgr = CheckpointManager(spark, root)
+    params = {"n_buckets": 4, "n_chunks": 2, "mode": "test"}
+    mgr.write_manifest(params)
+
+    # simulate the window: tmp fully written, manifest deleted
+    local = os.path.join(root, "run_manifest.json")
+    with open(local + ".tmp", "w") as f:
+        json.dump(params, f)
+    os.remove(local)
+    assert mgr.read_manifest() == params  # recovered from .tmp
+    assert os.path.exists(local) and not os.path.exists(local + ".tmp")
+
+    # a corrupt .tmp (crash DURING the tmp write, nothing committed)
+    # is dropped, not adopted
+    os.remove(local)
+    with open(local + ".tmp", "w") as f:
+        f.write("{truncated")
+    assert mgr.read_manifest() is None
+    assert not os.path.exists(local + ".tmp")
+
+
+def test_lineage_without_manifest_refuses_resume(spark, tmp_path):
+    """Committed lineage with no manifest means the committed chunk
+    identity is unknowable — check_manifest must refuse instead of
+    adopting the caller's current parameters."""
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "orphan"))
+    mgr.append_lineage(
+        "extracted", 0, [{"bucket": 0, "n_docs": 1, "n_failed": 0, "cpu_ms": 1.0}], 10, "runX"
+    )
+    with pytest.raises(ValueError, match="no run manifest"):
+        mgr.check_manifest({"n_buckets": 4})
+
+
+def test_lineage_fragment_upload_is_atomic(spark, tmp_path):
+    """Fragments are uploaded under a .tmp name and renamed into place:
+    no final-named partial file can exist, and stranded .tmp debris from
+    a crashed upload is invisible to lineage readers."""
+    import os
+
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    root = str(tmp_path / "atomic")
+    mgr = CheckpointManager(spark, root)
+    mgr.append_lineage(
+        "extracted", 0, [{"bucket": 0, "n_docs": 1, "n_failed": 0, "cpu_ms": 1.0}], 10, "runY"
+    )
+    names = os.listdir(os.path.join(root, "lineage"))
+    assert all(n.endswith(".parquet") for n in names if not n.startswith(".")), names
+
+    # a truncated upload (crash mid-copy) only ever exists under .tmp —
+    # readers must keep working with the debris present
+    with open(os.path.join(root, "lineage", "part-crashed.parquet.tmp"), "wb") as f:
+        f.write(b"PAR1garbage")
+    assert mgr.done_chunks("extracted") == {0}
+
+
+def test_whole_table_read_sweeps_upsert_debris(spark, tmp_path):
+    """read() must repair chunk=NNNN.old/.staging debris before
+    partition discovery: a leftover .old directory would otherwise be
+    listed as its own partition value and double-count the chunk."""
+    import os
+    import shutil
+
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, str(tmp_path / "sweep"))
+    mgr.write_chunk(spark.createDataFrame([(1, "a")], "k long, v string"), "docs", 0)
+    mgr.write_chunk(spark.createDataFrame([(2, "b")], "k long, v string"), "docs", 1)
+
+    # crash window: swap finished but retired copy not yet dropped
+    path1 = mgr._chunk_path("docs", 1)
+    local1 = path1.replace("file://", "")
+    shutil.copytree(local1, local1 + ".old")
+
+    got = mgr.read("docs")
+    assert got.count() == 2  # not 3: the .old copy must not double-count
+    assert {r["k"] for r in got.collect()} == {1, 2}
+    assert not os.path.exists(local1 + ".old")

@@ -359,3 +359,24 @@ def test_token_shards_budget_invariant(spark):
         per_bucket[r["bucket"]].add(r["shard"])
     for shards in per_bucket.values():
         assert shards == set(range(max(shards) + 1))
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    # A 60-hop chain (gradual-drift near-dup worst case): plain
+    # min-propagation needs 59 rounds; pointer jumping reaches distance
+    # ~2^k after k rounds, so 10 iterations must suffice.
+    chain = [(i, i + 1) for i in range(100, 159)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    got = D.duplicate_clusters(pairs, max_iterations=10)
+    reps = {r["cluster_rep"] for r in got.select("cluster_rep").distinct().collect()}
+    assert reps == {100}
+    assert got.count() == 60
+
+
+def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
+    # An exhausted iteration budget must raise, never return a silently
+    # split clustering.
+    chain = [(i, i + 1) for i in range(0, 30)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.duplicate_clusters(pairs, max_iterations=1)
