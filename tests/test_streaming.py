@@ -189,3 +189,31 @@ def test_sessionize_fn_cross_batch_and_late_events():
     list(_sessionize_fn((1,), iter([pdf([90_000]), pdf([70_000])]), st))
     assert st.updated == (0, 90_000, 4)
     assert st.timeout == 90_000 + GAP
+
+
+def test_stream_extract_matches_batch_pipeline_bytes(spark, tmp_path):
+    """Stream ≡ batch: the same pages through stream_extract and through
+    the batch run_pipeline must produce byte-identical extracted_text
+    and fields_json per url — the per-row invariant holds regardless of
+    execution mode (micro-batch vs chunked batch)."""
+    from credit_ocr_backend_spark.plans.pipeline import run_pipeline
+
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, n_docs=40, partitions=4)
+
+    query = stream_extract(
+        spark, pages, str(tmp_path / "sout"), str(tmp_path / "sckpt"),
+        max_files_per_trigger=4,
+    )
+    query.awaitTermination(120)
+    run_pipeline(spark, pages, str(tmp_path / "bout"), n_chunks=2, parallelism=4)
+
+    cols = ["url", "status", "extracted_text", "fields_json"]
+    streamed = {r["url"]: r for r in spark.read.parquet(str(tmp_path / "sout")).select(cols).collect()}
+    batched = {r["url"]: r for r in spark.read.parquet(f"{tmp_path}/bout/docs").select(cols).collect()}
+    assert set(streamed) == set(batched) and len(streamed) == 40
+    for url, srow in streamed.items():
+        brow = batched[url]
+        assert (srow["status"], srow["extracted_text"], srow["fields_json"]) == (
+            brow["status"], brow["extracted_text"], brow["fields_json"]
+        ), url
