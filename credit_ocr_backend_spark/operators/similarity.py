@@ -258,6 +258,110 @@ def batch_topk_lsh(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids``
+    corpus vectors with the smallest md5('ivf:'||id) — a content-keyed
+    uniform sample, so the quantizer is a pure function of the corpus
+    (identical across engines and runs; no RNG, no training job). At
+    real scale you would swap in k-means|| centroids — every downstream
+    plan (assign, probe, rank) is unchanged, only this table differs.
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-
+    partition heaps), never a global sort. Returns
+    (centroid_id = source vector id, cvec = quantized vector)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("centroid_id"),
+            quantize(vec_col).alias("cvec"),
+            h.alias("_h"),
+        )
+        .orderBy("_h", "centroid_id")
+        .limit(n_centroids)
+        .drop("_h")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties → smaller centroid id). The centroid table broadcasts (C rows);
+    the per-vector arg-max is a window with ``row_number() = 1`` —
+    Catalyst's WindowGroupLimit reduces each vector's C candidate rows
+    to one map-side, so the exchange carries n rows, not n×C. At
+    10^12 vectors this assignment is the table's natural clustering
+    key: write the corpus bucketed by centroid_id and a query scans
+    only its probed cells. Returns (id, centroid_id, _v quantized)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col), quantize(vec_col).alias("_v"))
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        F.col("_v"),
+        cosine_q(F.col("_v"), F.col("cvec")).alias("_ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "centroid_id", "_v")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k — the inverted-file scale path next
+    to the LSH one: partition the corpus into ``n_centroids`` cells
+    (nearest deterministic centroid), probe the ``nprobe`` cells whose
+    centroids are most query-similar, exact-rank inside them. With
+    ``nprobe = n_centroids`` every cell is probed and the result equals
+    :func:`brute_force_topk` exactly (tested). Candidate volume is
+    ~n·nprobe/n_centroids; the probe set and query broadcast, the
+    corpus side joins on the (small-int) centroid id.
+    Returns (vec_id, cos_sim, rnk)."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    q = query.select(quantize(vec_col).alias("_qvec"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            "_qvec",
+            cosine_q(F.col("cvec"), F.col("_qvec")).alias("_pcos"),
+        )
+        .orderBy(F.desc("_pcos"), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id", "_qvec")
+    )
+    scored = assigned.join(F.broadcast(probed), "centroid_id").select(
+        F.col(id_col),
+        cosine_q(F.col("_v"), F.col("_qvec")).alias("cos_sim"),
+    )
+    return _ranked_topk(scored, k, id_col)
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

@@ -746,6 +746,61 @@ def q_batch_topk(spark, sf):
     return SIM.batch_topk(emb, queries, k=10)
 
 
+_DUCK_COS = (
+    "round({d_ab} / sqrt(CAST({d_aa} AS DOUBLE) * CAST({d_bb} AS DOUBLE)), 6)"
+)
+
+
+def _duck_ivf(n_centroids: int = 16, nprobe: int = 4) -> str:
+    def cos(a: str, b: str) -> str:
+        return _DUCK_COS.format(
+            d_ab=_duck_dot(a, b), d_aa=_duck_dot(a, a), d_bb=_duck_dot(b, b)
+        )
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS ev FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS centroid_id, ev AS cv FROM e
+      ORDER BY CAST('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT),
+               vec_id
+      LIMIT {n_centroids}
+    ), assign AS (
+      SELECT vec_id, centroid_id, ev FROM (
+        SELECT e.vec_id, c.centroid_id, e.ev,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.ev', 'c.cv')} DESC, c.centroid_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT ev AS qv FROM e WHERE vec_id = 0
+    ), probes AS (
+      SELECT centroid_id, qv FROM (
+        SELECT c.centroid_id, q.qv,
+               row_number() OVER (ORDER BY {cos('c.cv', 'q.qv')} DESC, c.centroid_id) AS rn
+        FROM cents c, q
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT a.vec_id, {cos('a.ev', 'p.qv')} AS cos_sim
+      FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """
+
+
+@_register("ivf_topk", _duck_ivf())
+def q_ivf_topk(spark, sf):
+    """IVF-flat ANN (the inverted-file scale path alongside LSH):
+    deterministic md5-sampled coarse centroids, nearest-centroid cell
+    assignment, probe the 4 most query-similar of 16 cells, exact
+    integer-quantized cosine rank within them. With nprobe=n_centroids
+    this equals brute_force_topk exactly (unit-tested)."""
+    emb = _t(spark, sf, "embeddings")
+    query = emb.where(F.col("vec_id") == 0)
+    return SIM.ivf_topk(emb, query, k=10, n_centroids=16, nprobe=4)
 
 
 @_register(

@@ -380,3 +380,53 @@ def test_duplicate_clusters_raises_on_budget_exhaustion(spark):
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.duplicate_clusters(pairs, max_iterations=1)
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """IVF with nprobe = n_centroids probes every cell: the candidate
+    set is the whole corpus and the result must EQUAL brute force. With
+    nprobe < n_centroids it degrades gracefully (self-match survives:
+    the query's own vector lives in the best-probed cell)."""
+    import random
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(150)],
+        "vec_id long, embedding array<float>",
+    )
+    query = emb.where(F.col("vec_id") == 3)
+
+    exact = SIM.brute_force_topk(emb, query, k=7).collect()
+    full = SIM.ivf_topk(emb, query, k=7, n_centroids=8, nprobe=8).collect()
+    assert [(r["vec_id"], r["cos_sim"], r["rnk"]) for r in full] == [
+        (r["vec_id"], r["cos_sim"], r["rnk"]) for r in exact
+    ]
+
+    approx = SIM.ivf_topk(emb, query, k=7, n_centroids=8, nprobe=2).collect()
+    assert approx[0]["vec_id"] == 3 and approx[0]["cos_sim"] == 1.0
+    exact_ids = {r["vec_id"] for r in exact}
+    approx_ids = {r["vec_id"] for r in approx}
+    assert len(approx_ids & exact_ids) / len(exact_ids) > 0.2
+
+
+def test_ivf_assign_covers_corpus_once(spark):
+    """Every corpus vector lands in exactly one cell, and every cell's
+    centroid is a member of its own cell (it is its own nearest
+    centroid at cosine 1.0)."""
+    import random
+
+    rng = random.Random(13)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = SIM.ivf_centroids(emb, n_centroids=6)
+    assigned = SIM.ivf_assign(emb, cents)
+    assert assigned.count() == 120
+    assert assigned.select("vec_id").distinct().count() == 120
+    cent_ids = {r["centroid_id"] for r in cents.collect()}
+    own = {
+        r["centroid_id"]
+        for r in assigned.where(F.col("vec_id") == F.col("centroid_id")).collect()
+    }
+    assert own == cent_ids
