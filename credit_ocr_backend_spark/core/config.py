@@ -29,6 +29,30 @@ class DocumentTypeConfig:
     field_mappings: Dict[str, str] = field(default_factory=dict)
 
 
+def _read_text(path: str | Path) -> str:
+    """Read a repo file that may live inside a ``--py-files`` zip.
+
+    Under ``spark-submit --py-files engine.zip`` the package's
+    ``__file__`` paths look like ``.../engine.zip/credit_ocr.../x.py``;
+    plain ``open()`` on a sibling resolved from them fails with
+    NotADirectoryError. Detect the ``*.zip/`` segment and read the
+    member through zipfile instead — executors and the driver both hit
+    this on a real cluster, so it must work without a checkout."""
+    p = str(path)
+    try:
+        with open(p, "r", encoding="utf-8") as f:
+            return f.read()
+    except (NotADirectoryError, FileNotFoundError):
+        import re
+        import zipfile
+
+        m = re.match(r"^(.*?\.zip)/(.+)$", p)
+        if not m:
+            raise
+        with zipfile.ZipFile(m.group(1)) as z:
+            return z.read(m.group(2)).decode("utf-8")
+
+
 def load_document_config(config_path: str | Path) -> Dict[str, DocumentTypeConfig]:
     """Load document configuration from a JSON file.
 
@@ -36,8 +60,7 @@ def load_document_config(config_path: str | Path) -> Dict[str, DocumentTypeConfi
     (/root/reference/src/llm/field_extractor.py:14-29): one
     ``DocumentTypeConfig`` per top-level document type.
     """
-    with open(config_path, "r", encoding="utf-8") as f:
-        config_data = json.load(f)
+    config_data = json.loads(_read_text(config_path))
 
     document_types: Dict[str, DocumentTypeConfig] = {}
     for doc_type, doc_config in config_data.items():

@@ -5,7 +5,7 @@ keep-list chain, checkpointed per stage and resumable.
 
 Cluster usage (same packaging as extract_job):
 
-    cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark
+    cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark config
     spark-submit --py-files /tmp/engine.zip jobs/dedup_job.py \
         --docs hdfs://corpus/documents --out hdfs://corpus/dedup \
         --id-col doc_id --text-col text --jaccard 0.5 [--resume]

@@ -3,7 +3,7 @@
 
 Cluster usage (north rule packaging):
 
-    cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark
+    cd /root/repo && zip -r /tmp/engine.zip credit_ocr_backend_spark config
     spark-submit --py-files /tmp/engine.zip jobs/extract_job.py \
         --pages s3://bucket/pages --out /mnt/shared/extract \
         --ts-min 2025-01-01 --ts-max 2025-02-01 \
