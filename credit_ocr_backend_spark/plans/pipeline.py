@@ -172,7 +172,26 @@ def _bulk_waves(parallelism: int) -> int:
     return max(4, min(parallelism // 4, 16))
 
 
-def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
+# Each mapInPandas task pays a fixed Python/Arrow handshake (measured
+# ~0.2 s·core on this box: 20k docs, 256 vs 32 tasks = 5.87 vs 4.20 s
+# wall at local[32], BENCH/PLANS.md round 3). Keep at least this many
+# rows per task so the handshake stays <~10% of task compute.
+_MIN_DOCS_PER_TASK = 400
+
+
+def _effective_waves(parallelism: int, est_rows: Optional[int]) -> int:
+    """Wave count bounded BOTH by slot count (straggler smoothing) and
+    by per-task work volume (handshake amortization). ``est_rows`` may
+    be an upper-bound estimate; ``None`` keeps the slot-based value."""
+    waves = _bulk_waves(parallelism)
+    if est_rows is not None:
+        waves = max(1, min(waves, est_rows // (parallelism * _MIN_DOCS_PER_TASK)))
+    return waves
+
+
+def _defuse_skew(
+    df: DataFrame, parallelism: int, est_rows: Optional[int] = None
+) -> DataFrame:
     """Uniform row-level repartition on url-hash for the bulk (bucket
     ids clump under hash-partitioning; raw rows don't). Giant documents
     (heavy html right tail) go round-robin so one task never queues two
@@ -183,7 +202,10 @@ def _defuse_skew(df: DataFrame, parallelism: int) -> DataFrame:
     size = F.coalesce(F.length("html"), F.lit(0))
     bulk = (
         df.where(size <= GIANT_HTML_BYTES)
-        .repartition(parallelism * _bulk_waves(parallelism), F.xxhash64("url"))
+        .repartition(
+            parallelism * _effective_waves(parallelism, est_rows),
+            F.xxhash64("url"),
+        )
     )
     giants = (
         df.where(size > GIANT_HTML_BYTES)
@@ -252,6 +274,12 @@ def run_pipeline(
     else:
         ckpt.write_manifest(manifest)
 
+    # One unfiltered count of the input (parquet footer statistics — no
+    # data scan) bounds the per-chunk row estimate that sizes task
+    # waves. A ts window makes this an OVER-estimate, which at most
+    # keeps the slot-based wave count — it never under-provisions tasks.
+    est_total_rows = pages.count()
+
     done_chunks = ckpt.done_chunks("extracted") if resume else set()
     result = PipelineResult(out_root=out_root)
     t_start = time.perf_counter()
@@ -267,7 +295,9 @@ def run_pipeline(
         threads (every write is chunk-private, lineage fragments are
         uuid-named)."""
         chunk_df = _defuse_skew(
-            _input_slice(pages, n_buckets, lo, hi, ts_min, ts_max), par
+            _input_slice(pages, n_buckets, lo, hi, ts_min, ts_max),
+            par,
+            est_rows=est_total_rows * (hi - lo) // n_buckets,
         )
 
         if fail_buckets and (set(range(lo, hi)) & set(fail_buckets)):
