@@ -1383,6 +1383,67 @@ def q_dedup_keep_list(spark, sf):
     return D.canonical_keep_list(docs, clusters)
 
 
+_DUCK_QUALITY = """
+    SELECT doc_id, lang,
+           round((0.6 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) +
+                  0.4 * least(round((len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that)\\b')) +
+                                     len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b'))) * 1.0 /
+                                    greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 5, 1.0)) *
+                 (CASE WHEN round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
+                                  greatest(length(text), 1), 6) > 0.2
+                       THEN 0.5 ELSE 1.0 END), 6) AS quality
+    FROM documents
+"""
+
+
+@_register(
+    "corpus_curation",
+    f"""
+    WITH RECURSIVE verified AS ({_duck_verified_pairs()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clusters AS (
+      SELECT node AS doc, min(label) AS cluster_rep FROM reach GROUP BY node
+    ),
+    scored AS ({_DUCK_QUALITY}),
+    quality_ok AS (SELECT * FROM scored WHERE quality >= 0.5),
+    kept AS (
+      SELECT * FROM quality_ok
+      WHERE doc_id NOT IN (SELECT doc FROM clusters WHERE doc <> cluster_rep)
+    )
+    SELECT doc_id, lang, quality FROM kept
+    WHERE {_DUCK_UNIT.format(seed='cur', key='doc_id')} < 0.5
+    """,
+)
+def q_corpus_curation(spark, sf):
+    """The capstone composition a training-data pipeline actually runs,
+    end-to-end in one plan: quality filter (≥0.5 composite score) →
+    near-dup keep-list (MinHash→LSH→Jaccard→connected components, one
+    survivor per cluster) → deterministic 50% content-keyed sample.
+    Every stage is individually oracle-checked above; this query checks
+    their composition value-for-value. Plan shape at scale: the
+    quality filter is a stateless scan predicate, the keep-list is an
+    anti-join against the (small) non-canonical member set, the sample
+    is another scan predicate — the corpus side shuffles ZERO times."""
+    from credit_ocr_backend_spark.operators import sampling as SP
+    from credit_ocr_backend_spark.operators import textstats as T2
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select("doc_id", "lang", T2.quality_score("text").alias("quality"))
+    quality_ok = scored.where(F.col("quality") >= 0.5)
+    clusters = D.duplicate_clusters(_verified_pairs_df(spark, sf))
+    kept = D.canonical_keep_list(quality_ok, clusters)
+    return SP.deterministic_sample(kept, 0.5, "doc_id", seed="cur")
+
+
 @_register("lsh_bucket_histogram", _duck_lsh_bucket())
 def q_lsh_bucket_histogram(spark, sf):
     """ANN scale path: sign-random-projection bucket assignment
