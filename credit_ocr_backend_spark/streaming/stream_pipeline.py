@@ -228,3 +228,24 @@ def windowed_field_counts(
             "n_valid",
         )
     )
+
+
+def dedup_stream(
+    pages: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    content_col: str = "html",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-crawled identical payloads as
+    they arrive. State is one row per (sha256(content), event-time
+    window key); the watermark bounds it — a duplicate arriving later
+    than ``watermark`` after the first copy is NOT caught (it will be
+    caught by the batch dedup pass; the stream guards the ingest path).
+    ``dropDuplicatesWithinWatermark`` keys the state store on the hash
+    only and ages entries out with the watermark, so state size is
+    O(distinct payloads per watermark horizon), never O(stream)."""
+    hashed = pages.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_sha"]
+    )

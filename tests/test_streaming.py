@@ -217,3 +217,38 @@ def test_stream_extract_matches_batch_pipeline_bytes(spark, tmp_path):
         assert (srow["status"], srow["extracted_text"], srow["fields_json"]) == (
             brow["status"], brow["extracted_text"], brow["fields_json"]
         ), url
+
+
+def test_dedup_stream_drops_recrawls(spark, tmp_path):
+    """Streaming exact dedup: identical payloads within the watermark
+    horizon are dropped; distinct payloads all survive."""
+    from credit_ocr_backend_spark.streaming.stream_pipeline import dedup_stream
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [
+        ("u://a", "2025-01-01 10:00:00", b"<html>A</html>"),
+        ("u://a2", "2025-01-01 10:05:00", b"<html>A</html>"),  # re-crawl of A
+        ("u://b", "2025-01-01 10:10:00", b"<html>B</html>"),
+        ("u://b2", "2025-01-01 10:12:00", b"<html>B</html>"),  # re-crawl of B
+        ("u://c", "2025-01-01 10:20:00", b"<html>C</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_s string, html binary").select(
+        "url", F.to_timestamp("ts_s").alias("warc_ts"), "html"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+
+    stream = spark.readStream.schema("url string, warc_ts timestamp, html binary").parquet(pages_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(out) == 3
+    # exactly one survivor per distinct payload
+    payloads = sorted(bytes(r["html"]).decode() for r in out)
+    assert payloads == ["<html>A</html>", "<html>B</html>", "<html>C</html>"]
