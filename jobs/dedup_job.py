@@ -31,6 +31,8 @@ Stages (each a committed table under --out):
     verified_pairs  (doc_a, doc_b, jaccard)  exact n-gram Jaccard >= tau
     clusters        (doc, cluster_rep)       connected components
     keep_list       (<id-col>)               one survivor per cluster
+    curated         (<id-col>)               optional: --quality-min floor
+                                             + --sample-rate content-keyed sample
 
 The job prints ONE JSON line: per-stage rows, dropped-doc count, wall.
 """
@@ -46,7 +48,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-STAGES = ["signatures", "candidate_pairs", "verified_pairs", "clusters", "keep_list"]
+STAGES = ["signatures", "candidate_pairs", "verified_pairs", "clusters", "keep_list",
+          "curated"]
 
 
 def run_dedup(
@@ -57,6 +60,8 @@ def run_dedup(
     text_col: str = "text",
     jaccard: float = 0.5,
     resume: bool = False,
+    quality_min: float | None = None,
+    sample_rate: float | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -73,6 +78,8 @@ def run_dedup(
         "id_col": id_col,
         "text_col": text_col,
         "jaccard": jaccard,
+        "quality_min": quality_min,
+        "sample_rate": sample_rate,
     }
     if resume:
         ckpt.check_manifest(manifest)
@@ -128,6 +135,24 @@ def run_dedup(
         keep = D.canonical_keep_list(docs.select(id_col), clusters, id_col)
         commit("keep_list", keep)
 
+    # Optional curation tail (the corpus_curation contract query, as a
+    # committed stage): quality floor + deterministic content-keyed
+    # sample over the keep-list survivors. Both are scan predicates /
+    # a semi-join against the keep-list — no extra corpus shuffle.
+    if quality_min is not None or sample_rate is not None:
+        if not have("curated"):
+            from credit_ocr_backend_spark.operators import sampling as SP
+            from credit_ocr_backend_spark.operators import textstats as T
+
+            keep = ckpt.read_chunk("keep_list", 0)
+            kept_docs = docs.join(keep, id_col, "left_semi")
+            if quality_min is not None:
+                kept_docs = kept_docs.where(T.quality_score(text_col) >= quality_min)
+            out_df = kept_docs.select(id_col)
+            if sample_rate is not None:
+                out_df = SP.deterministic_sample(out_df, sample_rate, id_col, seed="cur")
+            commit("curated", out_df)
+
     n_docs = docs.count()
     return {
         "metric": "dedup_pipeline",
@@ -146,6 +171,10 @@ def main() -> int:
     parser.add_argument("--id-col", default="doc_id")
     parser.add_argument("--text-col", default="text")
     parser.add_argument("--jaccard", type=float, default=0.5)
+    parser.add_argument("--quality-min", type=float, default=None,
+                        help="curation: drop keep-list docs below this quality score")
+    parser.add_argument("--sample-rate", type=float, default=None,
+                        help="curation: deterministic content-keyed sample rate")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--cpus", type=int,
                         default=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
@@ -158,6 +187,7 @@ def main() -> int:
         spark, args.docs, args.out,
         id_col=args.id_col, text_col=args.text_col,
         jaccard=args.jaccard, resume=args.resume,
+        quality_min=args.quality_min, sample_rate=args.sample_rate,
     )
     print(json.dumps(summary))
     spark.stop()

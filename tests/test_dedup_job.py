@@ -73,3 +73,22 @@ def test_dedup_job_resume_skips_committed_stages(spark, corpus, tmp_path):
     # mismatched parameters refuse to resume (manifest check)
     with pytest.raises(ValueError, match="parameter mismatch"):
         run_dedup(spark, corpus, out, resume=True, jaccard=0.9)
+
+
+def test_dedup_job_curated_stage(spark, corpus, tmp_path):
+    """--quality-min/--sample-rate append a committed 'curated' stage:
+    a subset of the keep-list, reproducible across reruns."""
+    docs_path = corpus
+    out = str(tmp_path / "cur")
+    res = run_dedup(spark, docs_path, out, sample_rate=0.6, quality_min=0.0)
+    assert "curated" in res["stages"]
+    assert 0 < res["stages"]["curated"] <= res["stages"]["keep_list"]
+
+    curated = {r["doc_id"] for r in spark.read.parquet(f"{out}/curated/chunk=0000").collect()}
+    keep = {r["doc_id"] for r in spark.read.parquet(f"{out}/keep_list/chunk=0000").collect()}
+    assert curated <= keep
+
+    # reproducible: a fresh run over the same corpus picks the same set
+    res2 = run_dedup(spark, docs_path, str(tmp_path / "cur2"), sample_rate=0.6, quality_min=0.0)
+    curated2 = {r["doc_id"] for r in spark.read.parquet(f"{tmp_path}/cur2/curated/chunk=0000").collect()}
+    assert curated2 == curated
