@@ -234,6 +234,8 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     be returned as if it were final.  The convergence check is one
     ``count()`` of changed labels per round — a scalar, not a collect.
     """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -253,12 +255,19 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        stepped = labels.join(nbr, labels["doc"] == nbr["src"], "left").select(
-            "doc",
-            F.col("label").alias("old_label"),
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
+        stepped = (
+            labels.join(nbr, labels["doc"] == nbr["src"], "left")
+            .select(
+                "doc",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            # materialize: the jump join consumes stepped TWICE (as rows
+            # and as the label→label lookup); without this the
+            # propagation join+agg would be recomputed for both sides.
+            .localCheckpoint(eager=True)
         )
         # pointer jump: label ← label[label]. Labels are always node
         # ids (mins over node ids), so the self-join matches; left +

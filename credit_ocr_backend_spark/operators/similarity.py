@@ -273,13 +273,9 @@ def ivf_centroids(
     ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-
     partition heaps), never a global sort. Returns
     (centroid_id = source vector id, cvec = quantized vector)."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    from credit_ocr_backend_spark.operators.sampling import _md5_long
+
+    h = _md5_long("ivf:", F.col(id_col))
     return (
         df.select(
             F.col(id_col).alias("centroid_id"),

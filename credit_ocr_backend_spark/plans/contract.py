@@ -998,11 +998,13 @@ def q_doc_fingerprints(spark, sf):
     return d.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
-@_register(
-    "quality_scores",
-    """
+# ONE DuckDB rendering of textstats.quality_score, shared by every
+# query that mirrors it (quality_scores, corpus_curation): the weights,
+# stopword sets, and rounding live in exactly two places — the Spark
+# expression and this fragment.
+_DUCK_QUALITY = """
     WITH feats AS (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              length(text) AS n_chars,
              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
              len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
@@ -1010,13 +1012,18 @@ def q_doc_fingerprints(spark, sf):
              len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b')) AS n_stop
       FROM documents
     )
-    SELECT doc_id,
+    SELECT doc_id, lang,
            round((0.6 * least(n_tokens / 100.0, 1.0) +
                   0.4 * least(round(n_stop * 1.0 / greatest(n_tokens, 1), 6) * 5, 1.0)) *
                  (CASE WHEN round(n_punct * 1.0 / greatest(n_chars, 1), 6) > 0.2
                        THEN 0.5 ELSE 1.0 END), 6) AS quality
     FROM feats
-    """,
+"""
+
+
+@_register(
+    "quality_scores",
+    f"SELECT doc_id, quality FROM ({_DUCK_QUALITY})",
 )
 def q_quality_scores(spark, sf):
     """Composite text-quality score (length/stopword/punctuation)."""
@@ -1381,19 +1388,6 @@ def q_dedup_keep_list(spark, sf):
     docs = _t(spark, sf, "documents").select("doc_id")
     clusters = D.duplicate_clusters(_verified_pairs_df(spark, sf))
     return D.canonical_keep_list(docs, clusters)
-
-
-_DUCK_QUALITY = """
-    SELECT doc_id, lang,
-           round((0.6 * least(len(string_split_regex(trim(text), '\\s+')) / 100.0, 1.0) +
-                  0.4 * least(round((len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in|that)\\b')) +
-                                     len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|mit)\\b'))) * 1.0 /
-                                    greatest(len(string_split_regex(trim(text), '\\s+')), 1), 6) * 5, 1.0)) *
-                 (CASE WHEN round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
-                                  greatest(length(text), 1), 6) > 0.2
-                       THEN 0.5 ELSE 1.0 END), 6) AS quality
-    FROM documents
-"""
 
 
 @_register(

@@ -244,8 +244,18 @@ def dedup_stream(
     caught by the batch dedup pass; the stream guards the ingest path).
     ``dropDuplicatesWithinWatermark`` keys the state store on the hash
     only and ages entries out with the watermark, so state size is
-    O(distinct payloads per watermark horizon), never O(stream)."""
-    hashed = pages.withColumn("content_sha", F.sha2(F.col(content_col), 256))
+    O(distinct payloads per watermark horizon), never O(stream).
+
+    NULL payloads never dedup against each other: sha2(NULL) is NULL
+    and the operator treats NULL keys as equal, which would silently
+    drop every NULL-html document after the first — the batch path
+    records those as failed, so the stream must pass them through
+    (keyed by url instead)."""
+    content_sha = F.coalesce(
+        F.sha2(F.col(content_col), 256),
+        F.concat(F.lit("null:"), F.col("url")),
+    )
+    hashed = pages.withColumn("content_sha", content_sha)
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_sha"]
     )

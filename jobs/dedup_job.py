@@ -72,14 +72,17 @@ def run_dedup(
     )
 
     ckpt = CheckpointManager(spark, out_root)
+    # Curation params are deliberately NOT part of the stage-identity
+    # manifest: they only define the cheap curated tail, and pinning
+    # them would force recomputing every expensive global-join stage
+    # just to change a scan predicate. The curated stage carries its
+    # own sidecar marker instead (below).
     manifest = {
         "job": "dedup",
         "docs_path": docs_path,
         "id_col": id_col,
         "text_col": text_col,
         "jaccard": jaccard,
-        "quality_min": quality_min,
-        "sample_rate": sample_rate,
     }
     if resume:
         ckpt.check_manifest(manifest)
@@ -139,8 +142,21 @@ def run_dedup(
     # committed stage): quality floor + deterministic content-keyed
     # sample over the keep-list survivors. Both are scan predicates /
     # a semi-join against the keep-list — no extra corpus shuffle.
+    # Identity = a sidecar marker, not the run manifest: resuming with
+    # DIFFERENT curation params recomputes only this cheap stage (never
+    # the upstream global joins), while a stale curated table can never
+    # be served under new params.
     if quality_min is not None or sample_rate is not None:
-        if not have("curated"):
+        cur_params = json.dumps(
+            {"quality_min": quality_min, "sample_rate": sample_rate}, sort_keys=True
+        )
+        marker = f"{ckpt.root}/curated_params.json"
+        prev = (
+            ckpt._fs.read_bytes(marker).decode("utf-8")
+            if ckpt._fs.exists(marker)
+            else None
+        )
+        if prev != cur_params or not have("curated"):
             from credit_ocr_backend_spark.operators import sampling as SP
             from credit_ocr_backend_spark.operators import textstats as T
 
@@ -152,6 +168,7 @@ def run_dedup(
             if sample_rate is not None:
                 out_df = SP.deterministic_sample(out_df, sample_rate, id_col, seed="cur")
             commit("curated", out_df)
+            ckpt._fs.write_bytes(marker, cur_params.encode("utf-8"))
 
     n_docs = docs.count()
     return {

@@ -92,3 +92,18 @@ def test_dedup_job_curated_stage(spark, corpus, tmp_path):
     res2 = run_dedup(spark, docs_path, str(tmp_path / "cur2"), sample_rate=0.6, quality_min=0.0)
     curated2 = {r["doc_id"] for r in spark.read.parquet(f"{tmp_path}/cur2/curated/chunk=0000").collect()}
     assert curated2 == curated
+
+
+def test_dedup_job_curation_added_on_resume(spark, corpus, tmp_path):
+    """Adding (or changing) curation params on a resumed run must NOT
+    refuse, and must recompute only the curated tail - upstream stages
+    stay committed."""
+    out = str(tmp_path / "later")
+    run_dedup(spark, corpus, out)  # no curation
+    res = run_dedup(spark, corpus, out, resume=True, sample_rate=1.0)
+    assert res["resumed_stages"] == [0, 1, 2, 3, 4]  # all upstream skipped
+    assert res["stages"]["curated"] == res["stages"]["keep_list"]  # rate 1.0
+
+    # tighter params on a further resume -> curated recomputed, smaller
+    res2 = run_dedup(spark, corpus, out, resume=True, sample_rate=0.4)
+    assert res2["stages"]["curated"] < res["stages"]["curated"]

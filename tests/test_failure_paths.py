@@ -343,3 +343,35 @@ def test_whole_table_read_sweeps_upsert_debris(spark, tmp_path):
     assert got.count() == 2  # not 3: the .old copy must not double-count
     assert {r["k"] for r in got.collect()} == {1, 2}
     assert not os.path.exists(local1 + ".old")
+
+
+def test_resume_accepts_legacy_raw_ts_spelling(spark, tmp_path):
+    """Manifests written before ts canonicalization pinned the raw
+    bound spelling; resuming with an equal-instant spelling must
+    migrate the manifest instead of refusing."""
+    import json
+    import os
+
+    from credit_ocr_backend_spark.sources.pages import write_pages
+
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, n_docs=20, partitions=2)
+    out = str(tmp_path / "legacy")
+    run_pipeline(spark, pages, out, n_chunks=1, parallelism=2, ts_min="2024-01-01")
+
+    # simulate a legacy manifest: rewrite the pinned bound to raw form
+    # (through the same Hadoop FS the manager uses - a direct local
+    # write would orphan the .crc checksum sidecar)
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(spark, out)
+    m = mgr.read_manifest()
+    assert m["ts_min"] == "2024-01-01 00:00:00"
+    m["ts_min"] = "2024-01-01"
+    mgr.write_manifest(m)
+
+    res = run_pipeline(
+        spark, pages, out, n_chunks=1, parallelism=2,
+        ts_min="2024-01-01", resume=True,
+    )
+    assert res.chunks_skipped == 1 and res.chunks_run == 0

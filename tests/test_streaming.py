@@ -252,3 +252,33 @@ def test_dedup_stream_drops_recrawls(spark, tmp_path):
     # exactly one survivor per distinct payload
     payloads = sorted(bytes(r["html"]).decode() for r in out)
     assert payloads == ["<html>A</html>", "<html>B</html>", "<html>C</html>"]
+
+
+def test_dedup_stream_null_payloads_all_pass(spark, tmp_path):
+    """NULL html rows must NOT dedup against each other (sha2(NULL) is
+    NULL; the operator treats NULL keys as equal) — the batch path
+    records them as failed, so the stream must let every one through."""
+    from credit_ocr_backend_spark.streaming.stream_pipeline import dedup_stream
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [
+        ("u://n1", "2025-01-01 10:00:00", None),
+        ("u://n2", "2025-01-01 10:01:00", None),
+        ("u://ok", "2025-01-01 10:02:00", b"<html>X</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_s string, html binary").select(
+        "url", F.to_timestamp("ts_s").alias("warc_ts"), "html"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+    stream = spark.readStream.schema("url string, warc_ts timestamp, html binary").parquet(pages_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT url FROM dedup_null_out").collect()
+    assert {r["url"] for r in out} == {"u://n1", "u://n2", "u://ok"}
