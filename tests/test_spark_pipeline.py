@@ -190,3 +190,29 @@ def test_concurrent_chunk_failure_drains_and_raises(spark, pages_path, tmp_path)
     # chunks that completed before the failure are committed + resumable
     done = spark.read.parquet(f"{out}/lineage").select("chunk").distinct().count()
     assert done >= 1
+
+
+def test_input_slice_prunes_partitions_and_columns(spark, tmp_path):
+    """P7 evidence as a plan assert, not just a PLANS.md note: the
+    day-granular bound must reach the scan as PartitionFilters (whole
+    day-directories pruned at plan time) and the scan must read ONLY
+    url/warc_ts/html — never text/lang."""
+    import re
+
+    from credit_ocr_backend_spark.plans.pipeline import _input_slice
+    from credit_ocr_backend_spark.sources.pages import write_pages
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages(spark, pages_dir, n_docs=100, partitions=4)
+    pages = spark.read.parquet(pages_dir)
+    df = _input_slice(pages, 16, 0, 16, "2024-06-01", "2024-07-01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "warc_date" in pf.group(1), plan[:2000]
+    assert ">= 2024-06-01" in pf.group(1) and "<= 2024-07-01" in pf.group(1)
+
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs is not None
+    cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert cols == {"url", "warc_ts", "html"}, cols
