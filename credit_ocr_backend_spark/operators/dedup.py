@@ -378,3 +378,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         F.lit(0),
     )
     return voted.select("doc", fingerprint.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the fingerprint, equi-join on
+    (band_id, band_value), verify exact Hamming distance ≤
+    ``max_hamming``. By pigeonhole, any pair within Hamming ``bands-1``
+    shares at least one identical band, so the banding is LOSSLESS for
+    ``max_hamming <= bands - 1`` (the default 3 with 4 bands) — same
+    guarantee structure as the MinHash/LSH path, same at-scale shape
+    (one equi-join on a small-int key; at 10^12 docs use 64-bit
+    fingerprints with 16-bit bands so band buckets stay selective, and
+    apply the same mega-bucket star-reduction if a band value clumps).
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    width = bits // bands
+    fp = simhash(df, id_col, text_col, bits)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = fp.select(
+        "doc", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc", "simhash", "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()  # a close pair can match in several bands
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)

@@ -679,6 +679,32 @@ def q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), "doc_id", "text")
 
 
+@_register(
+    "simhash_near_dupes",
+    f"""
+    WITH fp AS ({_duck_simhash()}),
+    banded AS (
+      SELECT doc, simhash, b.band_id,
+             (simhash >> (b.band_id * 4)) & 15 AS band_val
+      FROM fp, (SELECT unnest(range(4)) AS band_id) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+             bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
+      FROM banded a
+      JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def q_simhash_near_dupes(spark, sf):
+    """SimHash near-dup pairs via banding + exact Hamming verify — the
+    second (token-frequency-sensitive) near-dup path next to
+    MinHash/Jaccard; pigeonhole-lossless for Hamming ≤ 3 at 4 bands."""
+    return D.simhash_near_dupes(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 _DUCK_QUANT = "list_transform({col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
 

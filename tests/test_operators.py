@@ -430,3 +430,26 @@ def test_ivf_assign_covers_corpus_once(spark):
         for r in assigned.where(F.col("vec_id") == F.col("centroid_id")).collect()
     }
     assert own == cent_ids
+
+
+def test_simhash_near_dupes_matches_brute_force(spark):
+    """Banded pair search must find EXACTLY the Hamming<=3 pairs a
+    brute-force all-pairs comparison finds (pigeonhole losslessness at
+    4 bands), with the same hamming values."""
+    from itertools import combinations
+
+    docs = spark.createDataFrame(
+        [(i, f"shared tokens alpha beta gamma delta doc{i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    fp = {r["doc"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
+    expected = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for a, b in combinations(sorted(fp), 2)
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_near_dupes(docs, "doc_id", "text").collect()
+    }
+    assert got == expected and expected  # non-empty by construction
