@@ -387,17 +387,25 @@ def simhash_near_dupes(
     bits: int = SIMHASH_BITS,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the fingerprint, equi-join on
     (band_id, band_value), verify exact Hamming distance ≤
     ``max_hamming``. By pigeonhole, any pair within Hamming ``bands-1``
     shares at least one identical band, so the banding is LOSSLESS for
     ``max_hamming <= bands - 1`` (the default 3 with 4 bands) — same
-    guarantee structure as the MinHash/LSH path, same at-scale shape
-    (one equi-join on a small-int key; at 10^12 docs use 64-bit
-    fingerprints with 16-bit bands so band buckets stay selective, and
-    apply the same mega-bucket star-reduction if a band value clumps).
-    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    guarantee structure as the MinHash/LSH path, and the SAME
+    mega-bucket star guard: a band value shared by more than
+    ``max_bucket`` docs contributes representative↔member pairs (O(c))
+    instead of all-pairs (O(c²)) — essential here because a 4-bit band
+    has only 16 values, so EVERY bucket clumps at corpus scale (use
+    64-bit fingerprints with 16-bit bands there, plus this guard).
+    Star pairs still pass the exact Hamming verify, so no pair beyond
+    the radius is ever emitted; pairs inside a star-reduced bucket stay
+    connected through the representative for downstream connected
+    components. Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    from pyspark.sql.window import Window
+
     width = bits // bands
     fp = simhash(df, id_col, text_col, bits)
     band_structs = F.array(
@@ -414,8 +422,18 @@ def simhash_near_dupes(
     banded = fp.select(
         "doc", "simhash", F.explode(band_structs).alias("b")
     ).select("doc", "simhash", "b.band_id", "b.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+
+    # bucket size + representative (doc AND its simhash, for the star
+    # pairs' hamming) over the join's own shuffle — struct-min orders by
+    # doc first, so the representative is the min doc id.
+    w = Window.partitionBy("band_id", "band_val")
+    counted = banded.withColumn("_c", F.count("*").over(w)).withColumn(
+        "_rep", F.min(F.struct(F.col("doc"), F.col("simhash"))).over(w)
+    )
+
+    small = counted.where(F.col("_c") <= max_bucket).hint("merge")
+    a, b = small.alias("a"), small.alias("b")
+    all_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -429,6 +447,16 @@ def simhash_near_dupes(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .distinct()  # a close pair can match in several bands
     )
+    star = counted.where(
+        (F.col("_c") > max_bucket) & (F.col("doc") != F.col("_rep.doc"))
+    ).select(
+        F.col("_rep.doc").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.bit_count(
+            F.col("_rep.simhash").bitwiseXOR(F.col("simhash"))
+        ).alias("hamming"),
+    )
+    # distinct: a close pair can match in several bands
+    pairs = all_pairs.unionByName(star).distinct()
     return pairs.where(F.col("hamming") <= max_hamming)

@@ -688,12 +688,36 @@ def q_simhash(spark, sf):
              (simhash >> (b.band_id * 4)) & 15 AS band_val
       FROM fp, (SELECT unnest(range(4)) AS band_id) b
     ),
-    pairs AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+    stats AS (
+      SELECT band_id, band_val, count(*) AS c, min(doc) AS rep_doc
+      FROM banded GROUP BY band_id, band_val
+    ),
+    rep AS (
+      SELECT s.band_id, s.band_val, s.c, s.rep_doc, f.simhash AS rep_simhash
+      FROM stats s JOIN fp f ON f.doc = s.rep_doc
+    ),
+    small AS (
+      SELECT b.* FROM banded b
+      JOIN stats s ON b.band_id = s.band_id AND b.band_val = s.band_val
+      WHERE s.c <= 64
+    ),
+    all_pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
              bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS hamming
-      FROM banded a
-      JOIN banded b
+      FROM small a
+      JOIN small b
         ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc < b.doc
+    ),
+    star AS (
+      SELECT r.rep_doc AS doc_a, b.doc AS doc_b,
+             bit_count(CAST(xor(r.rep_simhash, b.simhash) AS BIGINT)) AS hamming
+      FROM banded b
+      JOIN rep r ON b.band_id = r.band_id AND b.band_val = r.band_val
+      WHERE r.c > 64 AND b.doc <> r.rep_doc
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_a, doc_b, hamming
+      FROM (SELECT * FROM all_pairs UNION ALL SELECT * FROM star)
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
     """,
@@ -701,7 +725,11 @@ def q_simhash(spark, sf):
 def q_simhash_near_dupes(spark, sf):
     """SimHash near-dup pairs via banding + exact Hamming verify — the
     second (token-frequency-sensitive) near-dup path next to
-    MinHash/Jaccard; pigeonhole-lossless for Hamming ≤ 3 at 4 bands."""
+    MinHash/Jaccard; pigeonhole-lossless for Hamming ≤ 3 at 4 bands
+    (before star reduction). Uniquely among the guarded queries, the
+    DuckDB mirror implements the mega-bucket star guard too, so the
+    guard logic itself is oracle-checked — at sf0.01 the 4-bit bands
+    clump past max_bucket and the star path IS the exercised path."""
     return D.simhash_near_dupes(_t(spark, sf, "documents"), "doc_id", "text")
 
 

@@ -453,3 +453,19 @@ def test_simhash_near_dupes_matches_brute_force(spark):
         for r in D.simhash_near_dupes(docs, "doc_id", "text").collect()
     }
     assert got == expected and expected  # non-empty by construction
+
+
+def test_simhash_near_dupes_star_guard_keeps_identical_docs_connected(spark):
+    """With max_bucket forcing star reduction, identical docs (hamming
+    0) must stay connected through the bucket representative, and no
+    emitted pair may exceed the radius."""
+    docs = spark.createDataFrame(
+        [(i, "identical content every time") for i in range(10)]
+        + [(100, "totally different words entirely unrelated xyz")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_dupes(docs, "doc_id", "text", max_bucket=4).collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
+    # all 10 identical docs reachable from rep 0: star emits (0, m) for m in 1..9
+    connected = {r["doc_b"] for r in pairs if r["doc_a"] == 0}
+    assert {1, 2, 3, 4, 5, 6, 7, 8, 9} <= connected
