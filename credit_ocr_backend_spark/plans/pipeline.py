@@ -411,3 +411,54 @@ def run_pipeline(
 
     result.wall_sec = time.perf_counter() - t_start
     return result
+
+
+def doc_status(spark: SparkSession, out_root: str, url: str) -> Optional[dict]:
+    """Point lookup of one document's extraction status — the
+    reference's GET /extraction-status/{id} endpoint
+    (/root/reference/src/api/main.py:319-379) re-expressed against the
+    committed tables: status/error/proc_ms from the docs table, plus
+    the owning chunk's lineage row.
+
+    At 10^12 docs this must NOT scan the corpus: the url's bucket is
+    recomputed (same xxhash64 expression that wrote it), the run
+    manifest maps bucket → chunk, and ONLY that chunk=NNNN directory is
+    read, with the bucket+url predicates pushed into its parquet scan.
+    Returns None when the url is absent (not crawled, or its chunk not
+    yet committed)."""
+    ckpt = CheckpointManager(spark, out_root)
+    manifest = ckpt.read_manifest()
+    if manifest is None:
+        raise ValueError(f"{out_root} has no run manifest — not a pipeline output")
+    n_buckets, n_chunks = manifest["n_buckets"], manifest["n_chunks"]
+    bucket = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(url)), F.lit(n_buckets)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    chunk = next(
+        c for c in range(n_chunks)
+        if c * n_buckets // n_chunks <= bucket < (c + 1) * n_buckets // n_chunks
+    )
+    try:
+        docs = ckpt.read_chunk("docs", chunk)
+    except Exception:
+        return None  # chunk not committed yet
+    row = (
+        docs.where((F.col("bucket") == bucket) & (F.col("url") == url))
+        .select("status", "error", "proc_ms")
+        .first()
+    )
+    if row is None:
+        return None
+    out = {"url": url, "bucket": bucket, "chunk": chunk, **row.asDict()}
+    lineage = ckpt.lineage()
+    if lineage is not None:
+        lrow = (
+            lineage.where((F.col("chunk") == chunk) & (F.col("bucket") == bucket))
+            .select("run_id", "finished_at")
+            .first()
+        )
+        if lrow is not None:
+            out.update(lrow.asDict())
+    return out

@@ -216,3 +216,24 @@ def test_input_slice_prunes_partitions_and_columns(spark, tmp_path):
     assert rs is not None
     cols = {c.split(":")[0] for c in rs.group(1).split(",")}
     assert cols == {"url", "warc_ts", "html"}, cols
+
+
+def test_doc_status_point_lookup(spark, tmp_path):
+    """The GET /extraction-status analogue: status for one url read
+    from ONLY its owning chunk directory, None for unknown urls."""
+    from credit_ocr_backend_spark.plans.pipeline import doc_status
+    from credit_ocr_backend_spark.sources.pages import build_page, write_pages
+
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, n_docs=40, partitions=4)
+    out = str(tmp_path / "status_out")
+    run_pipeline(spark, pages, out, n_chunks=4, parallelism=4)
+
+    url = build_page(7)["url"]
+    st = doc_status(spark, out, url)
+    assert st is not None and st["url"] == url
+    assert st["status"] == "done" and st["error"] is None
+    assert st["chunk"] == st["bucket"] // 16  # 64 buckets / 4 chunks
+    assert "finished_at" in st
+
+    assert doc_status(spark, out, "https://never.crawled/x") is None
