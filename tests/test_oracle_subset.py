@@ -40,6 +40,12 @@ SUBSET = [
     "viz_colors",
     "merge_upsert",
     "extraction_docs",
+    # round-3 additions
+    "ivf_topk",
+    "simhash_near_dupes",
+    "dedup_clusters",
+    "corpus_curation",
+    "deterministic_sample",
 ]
 
 
