@@ -118,10 +118,20 @@ def lsh_candidate_pairs(
     shuffle exchange is reused.
 
     Mega-cluster guard: buckets with more than ``max_bucket`` members
-    contribute star pairs (min-doc representative ↔ each member, O(c))
-    instead of all-pairs (O(c²)) — same connected components, no pair
-    blow-up. Use :func:`oversized_band_buckets` to report what was
-    star-reduced (no silent caps)."""
+    contribute star pairs (O(c)) instead of all-pairs (O(c²)) — no pair
+    blow-up. The star is VALUE-GROUPED: members are first grouped by
+    their full signature (identical signatures are as-identical as
+    MinHash can attest, so these pairs always survive downstream
+    Jaccard verification), each member stars to its value-group
+    representative, and the value representatives star to the bucket
+    representative. Connectivity through the bucket representative
+    remains subject to the downstream verify (documents > the verify
+    radius from the representative lose that bucket's connectivity —
+    the accepted approximation); connectivity WITHIN a signature-value
+    group is verify-proof, which closes the adversarial case of many
+    identical documents sharing a bucket whose min-id representative is
+    dissimilar to all of them. Use :func:`oversized_band_buckets` to
+    report what was star-reduced (no silent caps)."""
     n_bands = n_hashes // band_rows
     band_structs = F.array(
         *[
@@ -137,17 +147,30 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
+    sig_hash = F.md5(
+        F.concat_ws("|", *[F.col(f"mh{i}") for i in range(n_hashes)])
+    )
     banded = signatures.select(
-        "doc", F.explode(band_structs).alias("band")
-    ).select("doc", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+        "doc", sig_hash.alias("sig"), F.explode(band_structs).alias("band")
+    ).select(
+        "doc",
+        "sig",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
 
-    # Bucket size + representative in one shuffle on (band_id, band_hash)
-    # — two window functions over the same partitioning share one sort.
+    # Bucket size + representatives in one shuffle on (band_id, band_hash):
+    # the value-group window's partitioning is a superset of the bucket
+    # window's keys, so HashPartitioning(band_id, band_hash) satisfies
+    # both — Catalyst adds a sort, not a second exchange.
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("band_id", "band_hash")
-    counted = banded.withColumn("_c", F.count("*").over(w)).withColumn(
-        "_rep", F.min("doc").over(w)
+    wv = Window.partitionBy("band_id", "band_hash", "sig")
+    counted = (
+        banded.withColumn("_c", F.count("*").over(w))
+        .withColumn("_rep", F.min("doc").over(w))
+        .withColumn("_vrep", F.min("doc").over(wv))
     )
 
     # hint("merge"): pin the self-join to sort-merge. At test scale AQE
@@ -168,11 +191,19 @@ def lsh_candidate_pairs(
         & (F.col("l.doc") < F.col("r.doc")),
     ).select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
 
-    star = counted.where(
-        (F.col("_c") > max_bucket) & (F.col("doc") != F.col("_rep"))
+    big = counted.where(F.col("_c") > max_bucket)
+    # member ↔ its signature-value representative (identical signatures;
+    # verify-proof connectivity)
+    value_star = big.where(F.col("doc") != F.col("_vrep")).select(
+        F.col("_vrep").alias("doc_a"), F.col("doc").alias("doc_b")
+    )
+    # value representative ↔ bucket representative (one row per distinct
+    # signature value in the bucket)
+    rep_star = big.where(
+        (F.col("doc") == F.col("_vrep")) & (F.col("doc") != F.col("_rep"))
     ).select(F.col("_rep").alias("doc_a"), F.col("doc").alias("doc_b"))
 
-    return all_pairs.unionByName(star).distinct()
+    return all_pairs.unionByName(value_star).unionByName(rep_star).distinct()
 
 
 def oversized_band_buckets(
@@ -207,7 +238,24 @@ def oversized_band_buckets(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+def _materialize(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage so iterative plans stay constant-size.
+
+    ``localCheckpoint`` (default) is fast but non-fault-tolerant: the
+    truncated lineage is unrecoverable after executor loss, so a
+    long-running corpus-scale job should pass ``reliable=True`` to use
+    a real ``checkpoint()`` to the directory configured via
+    ``spark.sparkContext.setCheckpointDir`` (ADVICE round 3)."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
     """Connected components over duplicate pairs — the canonicalization
     step after pair verification: (doc, cluster_rep) with cluster_rep =
     min doc id in the component (deterministic survivor choice, the
@@ -355,27 +403,60 @@ def ngram_jaccard(
     )
 
 
+def simhash_bit_term(b: int) -> int:
+    """Additive long term for fingerprint bit ``b``.  Bit 63 is the sign
+    bit of a 64-bit two's-complement long, so its term is −2^63 (adding
+    it to the low 63 bits yields the correct signed representation
+    without ever overflowing: partial sums stay within [−2^63, 2^63−1],
+    which also keeps DuckDB's checked BIGINT arithmetic happy — its
+    ``<<`` raises on shifts into the sign bit, so shift-assembly is not
+    an option there)."""
+    return (1 << b) if b < 63 else -(1 << 63)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-document SimHash fingerprint over word tokens.
 
     bit b of the fingerprint is 1 iff the signed vote
-    Σ_tokens (±1 by token-hash bit b) is ≥ 0. Returns (doc, simhash)."""
+    Σ_tokens (±1 by token-hash bit b) is ≥ 0. Returns (doc, simhash).
+
+    Token-hash entropy follows ``bits``: the md5 digest is consumed in
+    16-bit words (4 hex chars each), and fingerprint bit b tests bit
+    b%16 of word b//16 — so a 64-bit fingerprint draws on 64 genuinely
+    independent digest bits (a single ``conv`` word cannot carry 64
+    bits: ``conv(…,16,10).cast("long")`` caps at 15 hex chars / 60
+    bits, and wider prefixes overflow to NULL).  For ``bits<=16`` this
+    reduces exactly to the original first-4-hex-chars hash, keeping
+    historical fingerprints stable.  Cross-engine determinism:
+    ``CAST('0x'||substr(md5(tok),1+4w,4) AS BIGINT)`` in DuckDB."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    n_words = (bits + 15) // 16
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("tok")
-    ).withColumn("h", hex_prefix_to_long(F.md5("tok"), 4))
+    ).select("doc", F.md5("tok").alias("_d"))
+    hashed = toks.select(
+        "doc",
+        *[
+            hex_prefix_to_long(F.substring("_d", 1 + 4 * w, 4), 4).alias(f"h{w}")
+            for w in range(n_words)
+        ],
+    )
 
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"h{b // 16}"), b % 16).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"v{b}")
         for b in range(bits)
     ]
-    voted = toks.groupBy("doc").agg(*votes)
+    voted = hashed.groupBy("doc").agg(*votes)
     fingerprint = reduce(
         lambda acc, b: acc
-        + F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        + F.when(F.col(f"v{b}") >= 0, F.lit(simhash_bit_term(b))).otherwise(F.lit(0)),
         range(bits),
-        F.lit(0),
+        F.lit(0).cast("long"),
     )
     return voted.select("doc", fingerprint.alias("simhash"))
 
@@ -396,14 +477,23 @@ def simhash_near_dupes(
     ``max_hamming <= bands - 1`` (the default 3 with 4 bands) — same
     guarantee structure as the MinHash/LSH path, and the SAME
     mega-bucket star guard: a band value shared by more than
-    ``max_bucket`` docs contributes representative↔member pairs (O(c))
-    instead of all-pairs (O(c²)) — essential here because a 4-bit band
-    has only 16 values, so EVERY bucket clumps at corpus scale (use
-    64-bit fingerprints with 16-bit bands there, plus this guard).
-    Star pairs still pass the exact Hamming verify, so no pair beyond
-    the radius is ever emitted; pairs inside a star-reduced bucket stay
-    connected through the representative for downstream connected
-    components. Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    ``max_bucket`` docs contributes star pairs (O(c)) instead of
+    all-pairs (O(c²)) — essential here because a 4-bit band has only 16
+    values, so EVERY bucket clumps at corpus scale (use 64-bit
+    fingerprints with 16-bit bands there — ``bits=64, bands=4`` — plus
+    this guard). The star is VALUE-GROUPED: members sharing the exact
+    fingerprint star to their value representative (Hamming 0, so these
+    pairs always survive the verify), and value representatives star to
+    the bucket representative. Star pairs still pass the exact Hamming
+    verify, so no pair beyond the radius is ever emitted. Connectivity
+    caveat: two members whose fingerprints differ are connected through
+    the bucket representative ONLY if each is within ``max_hamming`` of
+    it — a member > ``max_hamming`` from both its bucket
+    representative and every same-value twin loses that bucket's
+    connectivity (the accepted, documented approximation of the guard);
+    identical-fingerprint members are always connected regardless of
+    the representative. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b."""
     from pyspark.sql.window import Window
 
     width = bits // bands
@@ -425,10 +515,15 @@ def simhash_near_dupes(
 
     # bucket size + representative (doc AND its simhash, for the star
     # pairs' hamming) over the join's own shuffle — struct-min orders by
-    # doc first, so the representative is the min doc id.
+    # doc first, so the representative is the min doc id. The value-group
+    # representative window partitions by a superset of the bucket keys,
+    # so all three share one exchange (plus a sort).
     w = Window.partitionBy("band_id", "band_val")
-    counted = banded.withColumn("_c", F.count("*").over(w)).withColumn(
-        "_rep", F.min(F.struct(F.col("doc"), F.col("simhash"))).over(w)
+    wv = Window.partitionBy("band_id", "band_val", "simhash")
+    counted = (
+        banded.withColumn("_c", F.count("*").over(w))
+        .withColumn("_rep", F.min(F.struct(F.col("doc"), F.col("simhash"))).over(w))
+        .withColumn("_vrep", F.min("doc").over(wv))
     )
 
     small = counted.where(F.col("_c") <= max_bucket).hint("merge")
@@ -448,8 +543,17 @@ def simhash_near_dupes(
             ).alias("hamming"),
         )
     )
-    star = counted.where(
-        (F.col("_c") > max_bucket) & (F.col("doc") != F.col("_rep.doc"))
+    big = counted.where(F.col("_c") > max_bucket)
+    # member ↔ identical-fingerprint representative: Hamming 0 by
+    # construction, verify-proof connectivity for exact twins
+    value_star = big.where(F.col("doc") != F.col("_vrep")).select(
+        F.col("_vrep").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+    )
+    # fingerprint-value representative ↔ bucket representative
+    rep_star = big.where(
+        (F.col("doc") == F.col("_vrep")) & (F.col("doc") != F.col("_rep.doc"))
     ).select(
         F.col("_rep.doc").alias("doc_a"),
         F.col("doc").alias("doc_b"),
@@ -458,5 +562,5 @@ def simhash_near_dupes(
         ).alias("hamming"),
     )
     # distinct: a close pair can match in several bands
-    pairs = all_pairs.unionByName(star).distinct()
+    pairs = all_pairs.unionByName(value_star).unionByName(rep_star).distinct()
     return pairs.where(F.col("hamming") <= max_hamming)

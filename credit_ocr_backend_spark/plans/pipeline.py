@@ -440,10 +440,13 @@ def doc_status(spark: SparkSession, out_root: str, url: str) -> Optional[dict]:
         c for c in range(n_chunks)
         if c * n_buckets // n_chunks <= bucket < (c + 1) * n_buckets // n_chunks
     )
-    try:
-        docs = ckpt.read_chunk("docs", chunk)
-    except Exception:
-        return None  # chunk not committed yet
+    # explicit existence pre-check: ONLY the path-absent case means
+    # "not committed yet"; corrupt parquet / permission / transient FS
+    # errors must propagate, not report the document as absent (ADVICE
+    # round 3)
+    if not ckpt.chunk_exists("docs", chunk):
+        return None
+    docs = ckpt.read_chunk("docs", chunk)
     row = (
         docs.where((F.col("bucket") == bucket) & (F.col("url") == url))
         .select("status", "error", "proc_ms")

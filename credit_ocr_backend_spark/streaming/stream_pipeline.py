@@ -250,10 +250,14 @@ def dedup_stream(
     and the operator treats NULL keys as equal, which would silently
     drop every NULL-html document after the first — the batch path
     records those as failed, so the stream must pass them through
-    (keyed by url instead)."""
+    (keyed by url instead; a NULL-html + NULL-url row falls through to
+    a per-row uuid so it can never collide with anything — without
+    that final fallback the url fallback itself re-creates the NULL-key
+    collapse it exists to avoid, ADVICE round 3)."""
     content_sha = F.coalesce(
         F.sha2(F.col(content_col), 256),
         F.concat(F.lit("null:"), F.col("url")),
+        F.concat(F.lit("anon:"), F.expr("uuid()")),
     )
     hashed = pages.withColumn("content_sha", content_sha)
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(

@@ -27,7 +27,6 @@ SUBSET = [
     "lang_counts",
     "latest_order_per_customer",
     "missing_langs",
-    "label_normalizer",
     "exact_dups",
     "simhash_fingerprints",
     "embedding_topk",
@@ -35,9 +34,7 @@ SUBSET = [
     "pricing_summary",
     # round-2 additions
     "sessionize",
-    "german_date_valid",
-    "video_frame_samples",
-    "viz_colors",
+    "scalar_functions",
     "merge_upsert",
     "extraction_docs",
     # round-3 additions
@@ -46,6 +43,9 @@ SUBSET = [
     "dedup_clusters",
     "corpus_curation",
     "deterministic_sample",
+    # round-4 additions
+    "multimodal_pipeline",
+    "simhash_near_dupes64",
 ]
 
 

@@ -282,3 +282,38 @@ def test_dedup_stream_null_payloads_all_pass(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT url FROM dedup_null_out").collect()
     assert {r["url"] for r in out} == {"u://n1", "u://n2", "u://ok"}
+
+
+def test_dedup_stream_null_html_null_url_rows_all_pass(spark, tmp_path):
+    """ADVICE round 3: when BOTH html and url are NULL the key must
+    fall through to a per-row uuid — otherwise the url fallback itself
+    produces a NULL key and every such row after the first is silently
+    dropped (the exact failure mode the fallback documents avoiding)."""
+    from credit_ocr_backend_spark.streaming.stream_pipeline import dedup_stream
+
+    pages_dir = str(tmp_path / "pages")
+    rows = [
+        (None, "2025-01-01 10:00:00", None),
+        (None, "2025-01-01 10:01:00", None),
+        (None, "2025-01-01 10:02:00", None),
+        ("u://ok", "2025-01-01 10:03:00", b"<html>X</html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_s string, html binary").select(
+        "url", F.to_timestamp("ts_s").alias("warc_ts"), "html"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, html binary"
+    ).parquet(pages_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_null_null_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_null_null_out").collect()
+    assert len(out) == 4
