@@ -267,9 +267,10 @@ def ivf_centroids(
     """Deterministic coarse quantizer for IVF: the ``n_centroids``
     corpus vectors with the smallest md5('ivf:'||id) — a content-keyed
     uniform sample, so the quantizer is a pure function of the corpus
-    (identical across engines and runs; no RNG, no training job). At
-    real scale you would swap in k-means|| centroids — every downstream
-    plan (assign, probe, rank) is unchanged, only this table differs.
+    (identical across engines and runs; no RNG, no training job). When
+    cell balance matters, swap in :func:`ivf_centroids_trained`
+    (deterministic k-means||) — every downstream plan (assign, probe,
+    rank) is unchanged, only this table differs.
     ``orderBy().limit()`` compiles to TakeOrderedAndProject (per-
     partition heaps), never a global sort. Returns
     (centroid_id = source vector id, cvec = quantized vector)."""
@@ -285,6 +286,193 @@ def ivf_centroids(
         .orderBy("_h", "centroid_id")
         .limit(n_centroids)
         .drop("_h")
+    )
+
+
+def _dist_sq_q(a: Column, b: Column) -> Column:
+    """Exact integer squared euclidean distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_centroids_trained(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    oversample: int | None = None,
+    init_rounds: int = 4,
+    lloyd_iters: int = 4,
+) -> DataFrame:
+    """k-means|| trained coarse quantizer (Bahmani et al., "Scalable
+    K-Means++", VLDB'12) — the drop-in upgrade over
+    :func:`ivf_centroids`' content-keyed sample when cell BALANCE
+    matters (balanced cells ⇒ uniform probe cost and better recall per
+    probed cell).  Fully deterministic: every "random" draw is an
+    md5-derived uniform, so the quantizer is a pure function of the
+    corpus — no RNG, reproducible across runs and engines.
+
+    Phases, each scale-shaped:
+
+    1. k-means|| oversampling — ``init_rounds`` passes; each pass scores
+       every vector's d² to the current candidate set (broadcast C,
+       one scan, no shuffle) and admits vectors with
+       u(x) < l·d²(x,C)/φ where u(x) = md5-uniform per (round, id).
+       Candidates stay O(l·rounds) — driver-collectable by design.
+    2. Candidate weighting — one more scan: each vector votes for its
+       nearest candidate (the standard k-means|| weighting).
+    3. Weighted k-means++ + Lloyd over the tiny weighted candidate set,
+       driver-side (pure Python; the candidate set is ≤ a few hundred
+       rows regardless of corpus size — this is exactly where k-means||
+       concentrates the work).
+    4. ``lloyd_iters`` DISTRIBUTED Lloyd refinements over the full
+       corpus: broadcast-assign (WindowGroupLimit argmax, n-row
+       exchange) then per-dimension mean via posexplode + groupBy —
+       (C·dim)-row aggregate state, any corpus size.
+
+    Returns (centroid_id = 0..k-1, cvec = quantized vector), same
+    contract as :func:`ivf_centroids`, so ``ivf_assign``/``ivf_topk``
+    take it unchanged."""
+    from credit_ocr_backend_spark.operators.sampling import _md5_long
+
+    k = n_centroids
+    l = oversample or 2 * k
+    base = df.select(F.col(id_col).alias("_id"), quantize(vec_col).alias("_v"))
+
+    # phase 1: seed = min-md5 vector (deterministic single point)
+    seed = (
+        base.withColumn("_h", _md5_long("ivfseed:", F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(1)
+        .select("_id", "_v")
+        .collect()
+    )
+    cand = {r["_id"]: list(r["_v"]) for r in seed}
+    # md5 uniform in [0,1): 15 hex chars / 2^60
+    two60 = float(1 << 60)
+    for rnd in range(init_rounds):
+        cand_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(i, v) for i, v in cand.items()], "_cid long, _cv array<long>"
+            )
+        )
+        d2 = (
+            base.join(cand_df)
+            .groupBy("_id")
+            .agg(
+                F.min(_dist_sq_q(F.col("_v"), F.col("_cv"))).alias("_d2"),
+                F.first("_v").alias("_v"),
+            )
+        )
+        phi = d2.agg(F.sum("_d2").alias("s")).collect()[0]["s"]
+        if not phi:
+            break  # every vector already a candidate / degenerate corpus
+        picked = (
+            d2.withColumn(
+                "_u", _md5_long(f"kpp{rnd}:", F.col("_id")) / F.lit(two60)
+            )
+            .where(F.col("_u") < F.lit(float(l)) * F.col("_d2") / F.lit(float(phi)))
+            .select("_id", "_v")
+            .collect()
+        )
+        for r in picked:
+            cand[r["_id"]] = list(r["_v"])
+
+    # phase 2: weight candidates by the number of vectors they serve
+    cand_ids = sorted(cand)
+    cand_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(i, cand[i]) for i in cand_ids], "_cid long, _cv array<long>"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy(_dist_sq_q(F.col("_v"), F.col("_cv")), "_cid")
+    weights = {
+        r["_cid"]: r["w"]
+        for r in base.join(cand_df)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy("_cid")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    }
+
+    # phase 3: weighted k-means++ then Lloyd on the candidate set
+    # (driver-side; deterministic greedy — the md5-uniforms again)
+    pts = [cand[i] for i in cand_ids]
+    wts = [weights.get(i, 0) for i in cand_ids]
+
+    def d2_py(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centers = [pts[max(range(len(pts)), key=lambda j: (wts[j], -cand_ids[j]))]]
+    while len(centers) < min(k, len(pts)):
+        best_j, best_cost = None, -1
+        for j, p in enumerate(pts):
+            cost = wts[j] * min(d2_py(p, c) for c in centers)
+            if cost > best_cost:
+                best_j, best_cost = j, cost
+        if best_cost <= 0:
+            break
+        centers.append(pts[best_j])
+    for _ in range(8):  # driver Lloyd over the weighted candidates
+        sums = [[0.0] * len(pts[0]) for _ in centers]
+        cnts = [0.0] * len(centers)
+        for j, p in enumerate(pts):
+            a = min(range(len(centers)), key=lambda c: (d2_py(p, centers[c]), c))
+            cnts[a] += wts[j]
+            for d, x in enumerate(p):
+                sums[a][d] += wts[j] * x
+        centers = [
+            [s / c for s in row] if c else centers[i]
+            for i, (row, c) in enumerate(zip(sums, cnts))
+        ]
+    centers = [[int(x // 1) for x in c] for c in centers]
+
+    # phase 4: distributed Lloyd over the full corpus
+    dim = len(centers[0])
+    for _ in range(lloyd_iters):
+        cdf = F.broadcast(
+            df.sparkSession.createDataFrame(
+                list(enumerate(centers)), "centroid_id long, cvec array<long>"
+            )
+        )
+        wv = Window.partitionBy("_id").orderBy(
+            _dist_sq_q(F.col("_v"), F.col("cvec")), "centroid_id"
+        )
+        assigned = (
+            base.join(cdf)
+            .withColumn("_rn", F.row_number().over(wv))
+            .where(F.col("_rn") == 1)
+            .select("_id", "centroid_id", "_v")
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(
+                    F.col("pm"), lambda s: F.floor(s["m"] + 0.5).cast("long")
+                ).alias("cvec"),
+            )
+            .collect()
+        )
+        new_centers = dict((r["centroid_id"], list(r["cvec"])) for r in means)
+        centers = [new_centers.get(i, c) for i, c in enumerate(centers)]
+
+    return df.sparkSession.createDataFrame(
+        list(enumerate(centers)), "centroid_id long, cvec array<long>"
     )
 
 
@@ -327,6 +515,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k — the inverted-file scale path next
     to the LSH one: partition the corpus into ``n_centroids`` cells
@@ -337,7 +526,11 @@ def ivf_topk(
     ~n·nprobe/n_centroids; the probe set and query broadcast, the
     corpus side joins on the (small-int) centroid id.
     Returns (vec_id, cos_sim, rnk)."""
-    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(df, n_centroids, id_col, vec_col)
+    )
     assigned = ivf_assign(df, cents, id_col, vec_col)
     q = query.select(quantize(vec_col).alias("_qvec"))
     probed = (

@@ -722,3 +722,65 @@ def test_duplicate_clusters_reliable_checkpoint_option(spark, tmp_path):
     }
     assert got == expected
     assert star == expected
+
+
+def test_ivf_centroids_trained_deterministic_and_balanced(spark):
+    """k-means|| trained quantizer: same contract as ivf_centroids,
+    fully deterministic (no RNG — md5-derived draws), and cell balance
+    no worse than the content-keyed sample on a clumpy corpus."""
+    import math
+
+    # 3 gaussian-ish clumps along different axes, deterministic grid
+    rows = []
+    for i in range(240):
+        base = [0.0] * 6
+        base[i % 3] = 10.0
+        rows.append((i, [base[d] + ((i * 7 + d * 13) % 5) * 0.1 for d in range(6)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    t1 = SIM.ivf_centroids_trained(emb, n_centroids=3, init_rounds=2, lloyd_iters=2)
+    t2 = SIM.ivf_centroids_trained(emb, n_centroids=3, init_rounds=2, lloyd_iters=2)
+    c1 = sorted((r["centroid_id"], list(r["cvec"])) for r in t1.collect())
+    c2 = sorted((r["centroid_id"], list(r["cvec"])) for r in t2.collect())
+    assert c1 == c2  # deterministic
+    assert len(c1) == 3
+    assert {r[0] for r in c1} == {0, 1, 2}  # dense 0..k-1 ids
+
+    def cell_cv(cents):
+        sizes = [
+            r["n"]
+            for r in SIM.ivf_assign(emb, cents)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        mean = sum(sizes) / len(sizes)
+        return math.sqrt(sum((s - mean) ** 2 for s in sizes) / len(sizes)) / mean
+
+    # 3 clumps of 80: trained centroids must find the clump structure
+    assert cell_cv(t1) < 0.05
+    # downstream plan unchanged: ivf_topk accepts the trained table
+    q = emb.where(F.col("vec_id") == 0)
+    got = SIM.ivf_topk(emb, q, k=5, nprobe=1, centroids=t1).collect()
+    assert [r["rnk"] for r in sorted(got, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+    assert got[0]["vec_id"] == 0  # the query's own clump is probed
+
+
+def test_ivf_topk_trained_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids with TRAINED centroids must equal the exact
+    brute-force ranking, same as with sampled centroids."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + d) % 7) for d in range(4)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 7)
+    cents = SIM.ivf_centroids_trained(emb, n_centroids=4, init_rounds=2, lloyd_iters=2)
+    ivf = {
+        (r["rnk"], r["vec_id"], r["cos_sim"])
+        for r in SIM.ivf_topk(emb, q, k=8, n_centroids=4, nprobe=4, centroids=cents).collect()
+    }
+    exact = {
+        (r["rnk"], r["vec_id"], r["cos_sim"])
+        for r in SIM.brute_force_topk(emb, q, k=8).collect()
+    }
+    assert ivf == exact
