@@ -62,6 +62,8 @@ def run_dedup(
     resume: bool = False,
     quality_min: float | None = None,
     sample_rate: float | None = None,
+    cc_algorithm: str = "label",
+    reliable_checkpoints: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -83,7 +85,17 @@ def run_dedup(
         "id_col": id_col,
         "text_col": text_col,
         "jaccard": jaccard,
+        # cc_algorithm IS stage identity: label-prop and star produce the
+        # same clustering, but resuming a half-finished run under a
+        # different algorithm should be an explicit choice, not silent.
+        "cc_algorithm": cc_algorithm,
     }
+    if cc_algorithm not in ("label", "star"):
+        raise ValueError(f"cc_algorithm must be 'label' or 'star', got {cc_algorithm!r}")
+    if reliable_checkpoints and spark.sparkContext.getCheckpointDir() is None:
+        # fault-tolerant lineage truncation needs a real checkpoint dir;
+        # default it under the job's own output root
+        spark.sparkContext.setCheckpointDir(f"{out_root}/_cc_checkpoints")
     if resume:
         ckpt.check_manifest(manifest)
     else:
@@ -131,7 +143,14 @@ def run_dedup(
     verified = ckpt.read_chunk("verified_pairs", 0)
 
     if not have("clusters"):
-        commit("clusters", D.duplicate_clusters(verified.select("doc_a", "doc_b")))
+        cc = D.duplicate_clusters_star if cc_algorithm == "star" else D.duplicate_clusters
+        commit(
+            "clusters",
+            cc(
+                verified.select("doc_a", "doc_b"),
+                reliable_checkpoint=reliable_checkpoints,
+            ),
+        )
     clusters = ckpt.read_chunk("clusters", 0)
 
     if not have("keep_list"):
@@ -192,6 +211,13 @@ def main() -> int:
                         help="curation: drop keep-list docs below this quality score")
     parser.add_argument("--sample-rate", type=float, default=None,
                         help="curation: deterministic content-keyed sample rate")
+    parser.add_argument("--cc", choices=["label", "star"], default="label",
+                        help="connected-components algorithm: min-label propagation "
+                             "with pointer jumping (default) or Kiveris large/small-star")
+    parser.add_argument("--reliable-checkpoints", action="store_true",
+                        help="use fault-tolerant checkpoint() for CC lineage "
+                             "truncation (long-running cluster jobs); defaults the "
+                             "checkpoint dir under --out")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--cpus", type=int,
                         default=int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)))
@@ -205,6 +231,7 @@ def main() -> int:
         id_col=args.id_col, text_col=args.text_col,
         jaccard=args.jaccard, resume=args.resume,
         quality_min=args.quality_min, sample_rate=args.sample_rate,
+        cc_algorithm=args.cc, reliable_checkpoints=args.reliable_checkpoints,
     )
     print(json.dumps(summary))
     spark.stop()

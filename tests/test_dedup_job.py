@@ -107,3 +107,24 @@ def test_dedup_job_curation_added_on_resume(spark, corpus, tmp_path):
     # tighter params on a further resume -> curated recomputed, smaller
     res2 = run_dedup(spark, corpus, out, resume=True, sample_rate=0.4)
     assert res2["stages"]["curated"] < res["stages"]["curated"]
+
+
+def test_dedup_job_star_cc_and_reliable_checkpoints(spark, corpus, tmp_path):
+    """--cc star + --reliable-checkpoints must produce the identical
+    clustering/keep-list (CC algorithms are interchangeable; manifest
+    records the choice so resume can't silently switch)."""
+    out = str(tmp_path / "dedup_star_out")
+    summary = run_dedup(
+        spark, corpus, out, cc_algorithm="star", reliable_checkpoints=True
+    )
+    clusters = {
+        r["doc"]: r["cluster_rep"]
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert clusters == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/keep_list").collect()}
+    assert kept == {0, 3, 5, 6, 7, 8}
+    assert summary["n_dropped"] == 3
+    # resuming under a DIFFERENT cc algorithm must be refused
+    with pytest.raises(ValueError):
+        run_dedup(spark, corpus, out, cc_algorithm="label", resume=True)
