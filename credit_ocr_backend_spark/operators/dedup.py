@@ -24,8 +24,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from credit_ocr_backend_spark.functions.scalar import hex_prefix_to_long
-
 N_MINHASHES = 8
 LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
 SIMHASH_BITS = 16
@@ -588,11 +586,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     n_words = (bits + 15) // 16
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("tok")
-    ).select("doc", F.md5("tok").alias("_d"))
+    )
+    # words inline over md5("tok"): for n_words == 1 this is byte-for-byte
+    # the pre-r4 expression (conv(substring(md5(tok),1,4))); for the
+    # multi-word 64-bit path whole-stage codegen's subexpression
+    # elimination computes the md5 once per row
     hashed = toks.select(
         "doc",
         *[
-            hex_prefix_to_long(F.substring("_d", 1 + 4 * w, 4), 4).alias(f"h{w}")
+            F.conv(F.substring(F.md5("tok"), 1 + 4 * w, 4), 16, 10)
+            .cast("long")
+            .alias(f"h{w}")
             for w in range(n_words)
         ],
     )
