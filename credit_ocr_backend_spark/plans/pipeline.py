@@ -345,10 +345,35 @@ def run_pipeline(
         ckpt.write_chunk(extracted, "docs", chunk_id)
         docs = ckpt.read_chunk("docs", chunk_id)
 
+        # Lineage metrics (A8: per-bucket doc counts, failures, cpu-ms)
+        # ride the results job's scan via observe() — a CollectMetrics
+        # node on the docs read — instead of a THIRD full pass over the
+        # committed table. The chunk's bucket range is known (lo..hi),
+        # so the per-bucket breakdown is a flat when-sum per bucket;
+        # the observed node sits above the scan and below the explode,
+        # so downstream filters can't bias the metrics. Measured: the
+        # separate lineage scan cost 0.86 s per 160k-doc chunk —
+        # parallelism-independent driver-serial tail, the exact shape
+        # that caps N→4N scaling.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lineage_{chunk_id}")
+        metric_cols = []
+        for b in range(lo, hi):
+            in_b = F.col("bucket") == b
+            metric_cols += [
+                F.sum(in_b.cast("long")).alias(f"n_{b}"),
+                F.sum(
+                    F.when(in_b & (F.col("status") == "failed"), 1).otherwise(0)
+                ).alias(f"f_{b}"),
+                F.sum(F.when(in_b, F.col("proc_ms")).otherwise(0.0)).alias(f"c_{b}"),
+            ]
+        observed = docs.observe(obs, metric_cols[0], *metric_cols[1:])
+
         # Long-format results: explode AFTER the heavy stage, from the
         # committed docs table (html long gone — narrow scan); the JSON
         # field payload is parsed JVM-side at codegen speed.
-        results = docs.select(
+        results = observed.select(
             "url",
             "bucket",
             F.explode_outer(F.from_json("fields_json", FIELDS_T)).alias("f"),
@@ -359,16 +384,18 @@ def run_pipeline(
         ).where(F.col("field_name").isNotNull())
         ckpt.write_chunk(results, "results", chunk_id)
 
-        # Lineage: per-bucket doc counts, failures, cpu-ms (A8 metrics).
+        m = obs.get
+        # same shape/semantics as the former groupBy: one row per
+        # bucket that actually holds documents
         per_bucket = [
-            row.asDict()
-            for row in docs.groupBy("bucket").agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias(
-                    "n_failed"
-                ),
-                F.sum("proc_ms").alias("cpu_ms"),
-            ).collect()
+            {
+                "bucket": b,
+                "n_docs": m[f"n_{b}"],
+                "n_failed": m[f"f_{b}"],
+                "cpu_ms": m[f"c_{b}"],
+            }
+            for b in range(lo, hi)
+            if m[f"n_{b}"]
         ]
         wall_ms = int((time.perf_counter() - t0) * 1000)
         ckpt.append_lineage("extracted", chunk_id, per_bucket, wall_ms, run_id)
