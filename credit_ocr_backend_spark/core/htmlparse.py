@@ -345,6 +345,9 @@ def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
 def _assemble_tokens(
     lines: List[Tuple[str, int, List[Dict[str, float]]]],
     words: List[Token],
+    precomputed_centroids: Optional[
+        Dict[int, List[Tuple[float, float, Optional[float]]]]
+    ] = None,
 ) -> List[Token]:
     """Emit per page: all lines (with containment-averaged confidence),
     then all words — the reference's per-page emission order and
@@ -362,20 +365,27 @@ def _assemble_tokens(
     # instead of scanning every word on the page (same comparisons, same
     # results — pure index acceleration).
     words_by_page: Dict[int, List[Token]] = {}
-    centroids_by_page: Dict[int, List[Tuple[float, float, Optional[float]]]] = {}
-    for w in words:
-        words_by_page.setdefault(w["page"], []).append(w)
-        wb = w["bounding_box"]
-        if wb:
-            if len(wb) == 4:  # fast path, bit-identical to sum()/len()
-                cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
-                cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
-            else:
-                cy = sum(p["y"] for p in wb) / len(wb)
-                cx = sum(p["x"] for p in wb) / len(wb)
-            centroids_by_page.setdefault(w["page"], []).append(
-                (cy, cx, w["confidence"])
-            )
+    if precomputed_centroids is not None:
+        # the synthetic layout path computes centroids at emit time with
+        # the identical float expression — skip the dict re-derivation
+        centroids_by_page = precomputed_centroids
+        for w in words:
+            words_by_page.setdefault(w["page"], []).append(w)
+    else:
+        centroids_by_page = {}
+        for w in words:
+            words_by_page.setdefault(w["page"], []).append(w)
+            wb = w["bounding_box"]
+            if wb:
+                if len(wb) == 4:  # fast path, bit-identical to sum()/len()
+                    cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
+                    cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
+                else:
+                    cy = sum(p["y"] for p in wb) / len(wb)
+                    cx = sum(p["x"] for p in wb) / len(wb)
+                centroids_by_page.setdefault(w["page"], []).append(
+                    (cy, cx, w["confidence"])
+                )
     for page_centroids in centroids_by_page.values():
         page_centroids.sort(key=lambda t: t[0])
 
@@ -413,11 +423,21 @@ def _assemble_tokens(
     return tokens
 
 
-def _layout_html_blocks(blocks: List[_Block]) -> Tuple[List[Tuple[str, int, List[Dict[str, float]]]], List[Token]]:
+def _layout_html_blocks(
+    blocks: List[_Block],
+) -> Tuple[
+    List[Tuple[str, int, List[Dict[str, float]]]],
+    List[Token],
+    Dict[int, List[Tuple[float, float, Optional[float]]]],
+]:
     """Deterministic reading-order layout engine: content blocks →
-    positioned lines + word tokens with synthetic geometry."""
+    positioned lines + word tokens with synthetic geometry, plus the
+    per-page word centroids (computed at emit time with the exact float
+    expression the assembly fast path would use — saves a full
+    re-derivation pass from the box dicts)."""
     lines: List[Tuple[str, int, List[Dict[str, float]]]] = []
     words: List[Token] = []
+    centroids_by_page: Dict[int, List[Tuple[float, float, Optional[float]]]] = {}
     page, row = 1, 0
     line_idx = 0
 
@@ -426,23 +446,32 @@ def _layout_html_blocks(blocks: List[_Block]) -> Tuple[List[Tuple[str, int, List
         y = TOP_MARGIN + row * ROW_STEP + cell * CELL_Y_STEP
         x0 = LEFT_MARGIN + cell * CELL_X_STEP
         x1 = x0 + CHAR_W * len(text)
-        box = [{"x": x0, "y": y}, {"x": x1, "y": y}, {"x": x1, "y": y}, {"x": x0, "y": y}]
-        lines.append((text, page, box))
+        # corners 0/3 and 1/2 are identical points — share the dicts
+        # (nothing downstream mutates box points; serialization is
+        # byte-identical)
+        pl = {"x": x0, "y": y}
+        pr = {"x": x1, "y": y}
+        lines.append((text, page, [pl, pr, pr, pl]))
+        centroids = centroids_by_page.setdefault(page, [])
         x = x0
         for wi, word in enumerate(text.split(" ")):
             wx1 = x + CHAR_W * len(word)
+            wl = {"x": x, "y": y}
+            wr = {"x": wx1, "y": y}
+            conf = _word_confidence(word, line_idx, wi)
             words.append(
                 {
                     "type": "word",
                     "text": word,
                     "page": page,
-                    "bounding_box": [
-                        {"x": x, "y": y}, {"x": wx1, "y": y},
-                        {"x": wx1, "y": y}, {"x": x, "y": y},
-                    ],
-                    "confidence": _word_confidence(word, line_idx, wi),
+                    "bounding_box": [wl, wr, wr, wl],
+                    "confidence": conf,
                 }
             )
+            # centroid with the exact float association _assemble_tokens'
+            # dict fast path uses — ((p0+p1)+p2)+p3)/4, left-assoc — so
+            # the precomputed value is bit-identical to the recomputed one
+            centroids.append(((y + y + y + y) / 4, (x + wx1 + wx1 + x) / 4, conf))
             x = wx1 + CHAR_W
         line_idx += 1
 
@@ -469,7 +498,7 @@ def _layout_html_blocks(blocks: List[_Block]) -> Tuple[List[Tuple[str, int, List
                     next_row()
                     emit_line(wrapped, 0)
                     row += 1
-    return lines, words
+    return lines, words, centroids_by_page
 
 
 def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005) -> List[Token]:
@@ -553,8 +582,8 @@ def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
             payload = []
         tokens = tokens_from_layout_words(payload)
     else:
-        lines, words = _layout_html_blocks(parser.blocks)
-        tokens = _assemble_tokens(lines, words)
+        lines, words, centroids = _layout_html_blocks(parser.blocks)
+        tokens = _assemble_tokens(lines, words, centroids)
 
     extracted_text = "\n".join(t["text"] for t in tokens if t["type"] == "line")
     return tokens, extracted_text
