@@ -211,6 +211,14 @@ def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
                 for eng in set(doc_config.field_mappings.values())
             },
         }
+        # compiled alternation per field: rx.search(label) is the
+        # C-speed equivalent of any(a in label for a in aliases) —
+        # boolean containment only, so alternative order is irrelevant
+        cached["alias_rx_by_field"] = {
+            eng: re.compile("|".join(re.escape(a) for a in aliases))
+            for eng, aliases in cached["aliases_by_field"].items()
+            if aliases
+        }
         _CONFIG_CACHE.clear()
         _CONFIG_CACHE["entry"] = cached
     return cached
@@ -305,14 +313,21 @@ def extract_fields(
             continue
 
         value_str = str(field_data["value"]).lower()
-        aliases = _config_tables(doc_config)["aliases_by_field"].get(field_name, [])
+        alias_rx = _config_tables(doc_config)["alias_rx_by_field"].get(field_name)
 
         # (a) label_value evidence
         pair = None
-        for item, label_lc, value_lc in pair_scan:
-            if any(a in label_lc for a in aliases) or value_str in value_lc:
-                pair = item
-                break
+        if alias_rx is not None:
+            search = alias_rx.search
+            for item, label_lc, value_lc in pair_scan:
+                if search(label_lc) is not None or value_str in value_lc:
+                    pair = item
+                    break
+        else:
+            for item, label_lc, value_lc in pair_scan:
+                if value_str in value_lc:
+                    pair = item
+                    break
 
         if pair is not None:
             extracted[field_name] = {
@@ -325,10 +340,17 @@ def extract_fields(
 
         # (b) raw-line evidence
         line = None
-        for tok, text_lc in line_scan:
-            if value_str in text_lc or any(a in text_lc for a in aliases):
-                line = tok
-                break
+        if alias_rx is not None:
+            search = alias_rx.search
+            for tok, text_lc in line_scan:
+                if value_str in text_lc or search(text_lc) is not None:
+                    line = tok
+                    break
+        else:
+            for tok, text_lc in line_scan:
+                if value_str in text_lc:
+                    line = tok
+                    break
 
         if line is not None:
             extracted[field_name] = {

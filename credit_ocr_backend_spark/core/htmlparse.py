@@ -453,27 +453,35 @@ def _layout_html_blocks(
         pr = {"x": x1, "y": y}
         lines.append((text, page, [pl, pr, pr, pl]))
         centroids = centroids_by_page.setdefault(page, [])
+        # centroids with the exact float association _assemble_tokens'
+        # dict fast path uses — (((p0+p1)+p2)+p3)/4, left-assoc — so the
+        # precomputed values are bit-identical to the recomputed ones;
+        # cy is constant across the line's words
+        cy = (y + y + y + y) / 4
+        words_append = words.append
+        centroids_append = centroids.append
+        conf_of = _word_confidence
+        char_w = CHAR_W
+        li = line_idx
+        pg = page
         x = x0
         for wi, word in enumerate(text.split(" ")):
-            wx1 = x + CHAR_W * len(word)
+            wx1 = x + char_w * len(word)
             wl = {"x": x, "y": y}
             wr = {"x": wx1, "y": y}
-            conf = _word_confidence(word, line_idx, wi)
-            words.append(
+            conf = conf_of(word, li, wi)
+            words_append(
                 {
                     "type": "word",
                     "text": word,
-                    "page": page,
+                    "page": pg,
                     "bounding_box": [wl, wr, wr, wl],
                     "confidence": conf,
                 }
             )
-            # centroid with the exact float association _assemble_tokens'
-            # dict fast path uses — ((p0+p1)+p2)+p3)/4, left-assoc — so
-            # the precomputed value is bit-identical to the recomputed one
-            centroids.append(((y + y + y + y) / 4, (x + wx1 + wx1 + x) / 4, conf))
-            x = wx1 + CHAR_W
-        line_idx += 1
+            centroids_append((cy, (x + wx1 + wx1 + x) / 4, conf))
+            x = wx1 + char_w
+        line_idx = li + 1
 
     def next_row(n_rows: int = 1) -> None:
         nonlocal page, row
