@@ -114,6 +114,13 @@ def pair_lines(
         cys = [_cy(ln["bounding_box"]) for ln in lines]
         hts = [_height(ln["bounding_box"]) for ln in lines]
         boxed = [bool(ln["bounding_box"]) for ln in lines]
+        # Candidate order for pass 2a, sorted by (center-x, line index):
+        # scanning ascending x and stopping at the FIRST same-row hit
+        # right of the label yields exactly the argmin the original
+        # full scan computed — strict `cand_x < best_x` updates mean the
+        # smallest cand_x wins, earliest line index among x-ties (the
+        # stable (cx, j) key) — with an early break instead of O(L).
+        xorder = sorted(range(len(lines)), key=lambda j: (cxs[j], j))
 
         # Pass 1: colon-separated label/value on a single line.
         for i, line in enumerate(lines):
@@ -148,19 +155,18 @@ def pair_lines(
             # 2a: nearest unconsumed line to the right on the same row
             # (same-row test identical to _same_row, on memoized values).
             best: Optional[Token] = None
-            best_x = float("inf")
             if boxed[i]:
                 cy_i, ht_i = cys[i], hts[i]
-                for j, cand in enumerate(lines):
+                for j in xorder:
+                    if cxs[j] <= cx:  # need strictly right of the label
+                        continue
                     if j in used or not boxed[j]:
                         continue
-                    cand_x = cxs[j]
-                    if cx < cand_x < best_x:
-                        ht_j = hts[j]
-                        tallest = ht_i if ht_i > ht_j else ht_j
-                        if abs(cy_i - cys[j]) <= tallest * 0.1:
-                            best = cand
-                            best_x = cand_x
+                    ht_j = hts[j]
+                    tallest = ht_i if ht_i > ht_j else ht_j
+                    if abs(cy_i - cys[j]) <= tallest * 0.1:
+                        best = lines[j]
+                        break
 
             if best is not None:
                 pairs.append(
