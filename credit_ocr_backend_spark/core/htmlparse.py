@@ -230,20 +230,24 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
 
     i, n = 0, len(s)
     find = s.find
+    handle_data = handler.handle_data
+    handle_starttag = handler.handle_starttag
+    handle_endtag = handler.handle_endtag
     while i < n:
         j = find("<", i)
         if j < 0:
-            handler.handle_data(unescape(s[i:]) if "&" in s[i:] else s[i:])
+            run = s[i:]
+            handle_data(unescape(run) if "&" in run else run)
             return True
         if i < j:
             run = s[i:j]
-            handler.handle_data(unescape(run) if "&" in run else run)
+            handle_data(unescape(run) if "&" in run else run)
         i = j
         nxt = s[i + 1] if i + 1 < n else ""
         if nxt == "/":
             m = _ENDTAG_STRICT_RE.match(s, i)
             if m:
-                handler.handle_endtag(m.group(1).lower())
+                handle_endtag(m.group(1).lower())
                 i = m.end()
                 continue
             m = _TAGNAME_RE.match(s, i + 2)
@@ -251,7 +255,7 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             if gt < 0:
                 return False  # unterminated — stdlib recovery is subtle
             if m:  # tolerant endtag: '</div foo>' fires endtag('div')
-                handler.handle_endtag(m.group(0).lower())
+                handle_endtag(m.group(0).lower())
             elif s[i : i + 3] == "</>":
                 i += 3
                 continue
@@ -278,7 +282,7 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             continue
         m = _TAGNAME_RE.match(s, i + 1)
         if not m:
-            handler.handle_data("<")  # bare '<' is literal text
+            handle_data("<")  # bare '<' is literal text
             i += 1
             continue
         tag = m.group(0).lower()
@@ -309,18 +313,18 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             continue
         if rest != "":
             return False
-        handler.handle_starttag(tag, attrs)
+        handle_starttag(tag, attrs)
         i = end + 1
         if tag in _CDATA_CONTENT:
             m2 = _CDATA_END[tag].search(s, i)
             if not m2:
                 return False  # unterminated cdata
             if i < m2.start():
-                handler.handle_data(s[i : m2.start()])  # raw, no unescape
+                handle_data(s[i : m2.start()])  # raw, no unescape
             m3 = _CDATA_CLOSE[tag].match(s, m2.start())
             if not m3:
                 return False  # '</script foo>' etc. — let stdlib decide
-            handler.handle_endtag(tag)
+            handle_endtag(tag)
             i = m3.end()
     return True
 
