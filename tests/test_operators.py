@@ -784,3 +784,37 @@ def test_ivf_topk_trained_full_probe_equals_brute_force(spark):
         for r in SIM.brute_force_topk(emb, q, k=8).collect()
     }
     assert ivf == exact
+
+
+def test_value_grouped_guard_adds_no_exchange(spark):
+    """The value-group representative window partitions by a SUPERSET of
+    the bucket window's keys, so HashPartitioning(band keys) satisfies
+    it — the plan must contain no exchange keyed on the signature/
+    fingerprint column (only a sort). Guards the round-4 claim that the
+    recall fix costs zero extra shuffles."""
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i % 7} alpha beta gamma") for i in range(40)],
+        "doc_id long, text string",
+    )
+    import re as _re
+
+    def exchange_keys(plan):
+        return [
+            m.group(1)
+            for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        ]
+
+    sigs = D.minhash_signatures(docs, "doc_id", "text")
+    plan = D.lsh_candidate_pairs(sigs)._jdf.queryExecution().executedPlan().toString()
+    keys = exchange_keys(plan)
+    assert any(k.startswith("band_id") for k in keys), keys
+    assert not any("sig#" in k for k in keys), keys
+    plan2 = (
+        D.simhash_near_dupes(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    keys2 = exchange_keys(plan2)
+    assert any(k.startswith("band_id") for k in keys2), keys2
+    assert not any("simhash#" in k for k in keys2), keys2
