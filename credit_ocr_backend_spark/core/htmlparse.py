@@ -213,6 +213,13 @@ _ATTR_RE = re.compile(
 )
 _ENDTAG_STRICT_RE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _DOCTYPE_RE = re.compile(r"<!doctype[^>\[]*>", re.IGNORECASE)
+
+
+@lru_cache(maxsize=4096)
+def _lower_tag(raw: str) -> str:
+    """Documents reuse a handful of tag spellings millions of times —
+    memoize the lowercasing (value identical to str.lower())."""
+    return raw.lower()
 _CDATA_CONTENT = ("script", "style")  # html.parser's CDATA_CONTENT_ELEMENTS
 _CDATA_END = {
     t: re.compile(rf"</\s*{t}", re.IGNORECASE) for t in _CDATA_CONTENT
@@ -285,12 +292,28 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             handle_data("<")  # bare '<' is literal text
             i += 1
             continue
-        tag = m.group(0).lower()
+        raw_tag = m.group(0)
+        tag = _lower_tag(raw_tag)
         body = _TAG_BODY_RE.match(s, m.end())
         end = body.end()
         if end >= n or s[end] != ">":
             return False  # unterminated start tag
         region = s[m.end() : end]
+        if not region:
+            handle_starttag(tag, [])
+            i = end + 1
+            if tag in _CDATA_CONTENT:
+                m2 = _CDATA_END[tag].search(s, i)
+                if not m2:
+                    return False  # unterminated cdata
+                if i < m2.start():
+                    handle_data(s[i : m2.start()])  # raw, no unescape
+                m3 = _CDATA_CLOSE[tag].match(s, m2.start())
+                if not m3:
+                    return False
+                handle_endtag(tag)
+                i = m3.end()
+            continue
         # Sequential strict attr matching; whatever the grammar can't
         # consume decides: '' → start tag, '/' → self-closing, anything
         # else → outside the proven subset, fall back.
@@ -358,9 +381,13 @@ def _assemble_tokens(
     confidence rule (postprocess.py:25-69): a line's confidence is
     round(mean confidence of same-page words whose centroid falls inside
     the line envelope, 2), None when no word matches."""
-    lines_by_page: Dict[int, List[Tuple[str, List[Dict[str, float]]]]] = {}
-    for text, page, box in lines:
-        lines_by_page.setdefault(page, []).append((text, box))
+    lines_by_page: Dict[int, list] = {}
+    for entry in lines:
+        # entries are (text, page, box) or (text, page, box, envelope):
+        # the synthetic layout path precomputes the exact envelope
+        lines_by_page.setdefault(entry[1], []).append(
+            (entry[0], entry[2], entry[3] if len(entry) > 3 else None)
+        )
 
     from bisect import bisect_left, bisect_right
 
@@ -397,8 +424,10 @@ def _assemble_tokens(
     for page in sorted(set(lines_by_page) | set(words_by_page)):
         centroids = centroids_by_page.get(page, [])
         ykeys = [t[0] for t in centroids]
-        for text, box in lines_by_page.get(page, []):
-            if len(box) == 4:  # fast path: no list allocs for the envelope
+        for text, box, env in lines_by_page.get(page, []):
+            if env is not None:
+                min_x, max_x, min_y, max_y = env
+            elif len(box) == 4:  # fast path: no list allocs for the envelope
                 x0, x1, x2, x3 = box[0]["x"], box[1]["x"], box[2]["x"], box[3]["x"]
                 y0, y1, y2, y3 = box[0]["y"], box[1]["y"], box[2]["y"], box[3]["y"]
                 min_x, max_x = min(x0, x1, x2, x3), max(x0, x1, x2, x3)
@@ -455,7 +484,10 @@ def _layout_html_blocks(
         # byte-identical)
         pl = {"x": x0, "y": y}
         pr = {"x": x1, "y": y}
-        lines.append((text, page, [pl, pr, pr, pl]))
+        # envelope piggybacked for the assembly pass: min/max over the
+        # degenerate box are exactly (x0, x1, y, y) — x1 >= x0 always,
+        # all corners share y — so no re-derivation is needed there
+        lines.append((text, page, [pl, pr, pr, pl], (x0, x1, y, y)))
         centroids = centroids_by_page.setdefault(page, [])
         # centroids with the exact float association _assemble_tokens'
         # dict fast path uses — (((p0+p1)+p2)+p3)/4, left-assoc — so the
