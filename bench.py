@@ -103,6 +103,18 @@ def main() -> int:
     if not args.skip_extraction:
         workdir = tempfile.mkdtemp(prefix="bench_pages_")
         write_pages(spark, f"{workdir}/pages", n_docs=n_docs, partitions=args.cpus)
+        # Warm-up (same methodology as BENCH/scaling.py, round 4): one
+        # tiny pipeline run so Python workers are forked, the engine is
+        # imported in them, and whole-stage codegen is JIT-compiled —
+        # on a real cluster executors are long-lived and extraction
+        # chunks run back-to-back, so steady-state job throughput is
+        # the honest number (measured: 10.1 s cold vs 6.4 s warm at
+        # 20k docs — 3.7 s of one-time worker/codegen boot).
+        write_pages(spark, f"{workdir}/warm_pages", n_docs=1000, partitions=8)
+        run_pipeline(
+            spark, f"{workdir}/warm_pages", f"{workdir}/warm_out",
+            n_buckets=8, n_chunks=1, parallelism=args.cpus,
+        )
         t0 = time.perf_counter()
         res = run_pipeline(
             spark, f"{workdir}/pages", f"{workdir}/out",
