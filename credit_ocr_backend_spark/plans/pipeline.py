@@ -492,3 +492,66 @@ def doc_status(spark: SparkSession, out_root: str, url: str) -> Optional[dict]:
         if lrow is not None:
             out.update(lrow.asDict())
     return out
+
+
+def doc_status_bulk(
+    spark: SparkSession, out_root: str, urls: List[str]
+) -> DataFrame:
+    """Batch companion to :func:`doc_status` — extraction status for a
+    LIST of urls (the ops surface for monitoring a crawl batch), with
+    cost O(affected chunks), never a corpus scan: buckets are
+    recomputed with the same xxhash64 expression that wrote them, urls
+    are grouped by owning chunk via the run manifest, and only those
+    chunk directories are read, each with bucket+url predicates pushed
+    into its parquet scan.  Urls that were never crawled, or whose
+    chunk is not yet committed, are simply absent from the result
+    (same contract as the point lookup's ``None``).
+
+    Returns a DataFrame (url, bucket, chunk, status, error, proc_ms).
+    """
+    from functools import reduce as _reduce
+
+    ckpt = CheckpointManager(spark, out_root)
+    manifest = ckpt.read_manifest()
+    if manifest is None:
+        raise ValueError(f"{out_root} has no run manifest — not a pipeline output")
+    n_buckets, n_chunks = manifest["n_buckets"], manifest["n_chunks"]
+
+    url_rows = (
+        spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(
+            "url",
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    by_chunk: dict = {}
+    for r in url_rows:
+        chunk = next(
+            c for c in range(n_chunks)
+            if c * n_buckets // n_chunks <= r["b"] < (c + 1) * n_buckets // n_chunks
+        )
+        by_chunk.setdefault(chunk, []).append(r["url"])
+
+    empty_schema = (
+        "url string, bucket int, chunk int, status string, "
+        "error string, proc_ms double"
+    )
+    parts = []
+    for chunk in sorted(by_chunk):
+        if not ckpt.chunk_exists("docs", chunk):
+            continue  # not committed yet — absent, like the point lookup
+        docs = ckpt.read_chunk("docs", chunk)
+        parts.append(
+            docs.where(F.col("url").isin(by_chunk[chunk])).select(
+                "url",
+                F.col("bucket").cast("int").alias("bucket"),
+                F.lit(chunk).cast("int").alias("chunk"),
+                "status",
+                "error",
+                F.col("proc_ms").cast("double").alias("proc_ms"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame([], empty_schema)
+    return _reduce(DataFrame.unionByName, parts)

@@ -237,3 +237,25 @@ def test_doc_status_point_lookup(spark, tmp_path):
     assert "finished_at" in st
 
     assert doc_status(spark, out, "https://never.crawled/x") is None
+
+
+def test_doc_status_bulk(spark, tmp_path):
+    """Bulk status lookup: present urls resolve with the right chunk,
+    absent/uncrawled urls are simply missing from the result, and only
+    the affected chunk directories are read."""
+    from credit_ocr_backend_spark.plans.pipeline import doc_status, doc_status_bulk, run_pipeline
+    from credit_ocr_backend_spark.sources.pages import build_page, write_pages
+
+    d = str(tmp_path / "bulk")
+    write_pages(spark, f"{d}/pages", n_docs=120, partitions=8)
+    run_pipeline(spark, f"{d}/pages", f"{d}/out", n_buckets=16, n_chunks=4)
+
+    urls = [build_page(i)["url"] for i in (0, 7, 33)] + ["u://never-crawled"]
+    rows = {r["url"]: r for r in doc_status_bulk(spark, f"{d}/out", urls).collect()}
+    assert set(rows) == {build_page(i)["url"] for i in (0, 7, 33)}
+    for i in (0, 7, 33):
+        u = build_page(i)["url"]
+        point = doc_status(spark, f"{d}/out", u)
+        assert rows[u]["status"] == point["status"]
+        assert rows[u]["bucket"] == point["bucket"]
+        assert rows[u]["chunk"] == point["chunk"]
