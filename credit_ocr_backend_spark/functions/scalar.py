@@ -85,8 +85,7 @@ def content_sha256(col: Column | str) -> Column:
     return F.sha2(c.cast("binary"), 256)
 
 
-def hex_prefix_to_long(col: Column, n_hex_chars: int = 15) -> Column:
-    """First n hex chars of a digest as a non-negative long — the
-    cross-engine-stable uniform hash used by MinHash/SimHash (matches
-    DuckDB ``CAST('0x'||substr(md5(x),1,n) AS BIGINT)``)."""
-    return F.conv(F.substring(col, 1, n_hex_chars), 16, 10).cast("long")
+# (hex_prefix_to_long lived here through round 4; it lost its last
+# caller when simhash() inlined the per-word conv expression and was
+# removed — the cross-engine md5-prefix hash pattern lives inline in
+# operators/dedup.py and operators/sampling.py.)

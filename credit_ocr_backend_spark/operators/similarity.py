@@ -350,6 +350,12 @@ def ivf_centroids_trained(
         .select("_id", "_v")
         .collect()
     )
+    if not seed:
+        raise ValueError(
+            "ivf_centroids_trained: corpus is empty (the deterministic "
+            "seed draw returned no rows) — a quantizer needs at least "
+            "one vector to train on"
+        )
     cand = {r["_id"]: list(r["_v"]) for r in seed}
     # md5 uniform in [0,1): 15 hex chars / 2^60
     two60 = float(1 << 60)
@@ -434,7 +440,6 @@ def ivf_centroids_trained(
     centers = [[int(x // 1) for x in c] for c in centers]
 
     # phase 4: distributed Lloyd over the full corpus
-    dim = len(centers[0])
     for _ in range(lloyd_iters):
         cdf = F.broadcast(
             df.sparkSession.createDataFrame(

@@ -342,61 +342,91 @@ def run_pipeline(
         else:
             raise ValueError(f"unknown mode: {mode}")
 
-        ckpt.write_chunk(extracted, "docs", chunk_id)
-        docs = ckpt.read_chunk("docs", chunk_id)
-
         # Lineage metrics (A8: per-bucket doc counts, failures, cpu-ms)
-        # ride the results job's scan via observe() — a CollectMetrics
-        # node on the docs read — instead of a THIRD full pass over the
-        # committed table. The chunk's bucket range is known (lo..hi),
-        # so the per-bucket breakdown is a flat when-sum per bucket;
-        # the observed node sits above the scan and below the explode,
-        # so downstream filters can't bias the metrics. Measured: the
-        # separate lineage scan cost 0.86 s per 160k-doc chunk —
-        # parallelism-independent driver-serial tail, the exact shape
-        # that caps N→4N scaling.
+        # ride the DOCS WRITE job via observe() — a CollectMetrics node
+        # above the heavy stage — so they cost zero extra passes. The
+        # chunk's bucket range is known (lo..hi), so the per-bucket
+        # breakdown is a flat when-sum per bucket. An empty bucket
+        # range (lo == hi, possible when n_chunks > n_buckets) has no
+        # metric columns to observe — skip the node entirely and record
+        # the empty-chunk sentinel, exactly like the old groupBy path
+        # (ADVICE round 4).
         from pyspark.sql import Observation
 
-        obs = Observation(f"lineage_{chunk_id}")
-        metric_cols = []
-        for b in range(lo, hi):
-            in_b = F.col("bucket") == b
-            metric_cols += [
-                F.sum(in_b.cast("long")).alias(f"n_{b}"),
-                F.sum(
-                    F.when(in_b & (F.col("status") == "failed"), 1).otherwise(0)
-                ).alias(f"f_{b}"),
-                F.sum(F.when(in_b, F.col("proc_ms")).otherwise(0.0)).alias(f"c_{b}"),
-            ]
-        observed = docs.observe(obs, metric_cols[0], *metric_cols[1:])
+        obs = None
+        if hi > lo:
+            obs = Observation(f"lineage_{chunk_id}")
+            metric_cols = []
+            for b in range(lo, hi):
+                in_b = F.col("bucket") == b
+                metric_cols += [
+                    F.sum(in_b.cast("long")).alias(f"n_{b}"),
+                    F.sum(
+                        F.when(in_b & (F.col("status") == "failed"), 1).otherwise(0)
+                    ).alias(f"f_{b}"),
+                    F.sum(F.when(in_b, F.col("proc_ms")).otherwise(0.0)).alias(f"c_{b}"),
+                ]
+            extracted = extracted.observe(obs, metric_cols[0], *metric_cols[1:])
 
-        # Long-format results: explode AFTER the heavy stage, from the
-        # committed docs table (html long gone — narrow scan); the JSON
-        # field payload is parsed JVM-side at codegen speed.
-        results = observed.select(
-            "url",
-            "bucket",
-            F.explode_outer(F.from_json("fields_json", FIELDS_T)).alias("f"),
-        ).select(
-            "url",
-            "bucket",
-            *[F.col(f"f.{c}").alias(c) for c in RESULT_COLUMNS],
-        ).where(F.col("field_name").isNotNull())
-        ckpt.write_chunk(results, "results", chunk_id)
+        # Round-5 tail fix (north-rule scaling lever): the results rows
+        # derive from the SAME in-memory frame the docs commit wrote,
+        # not from a re-read of the committed table. The old shape —
+        # write docs, re-open chunk=NNNN, from_json the field payload,
+        # write results — cost a parallelism-INDEPENDENT ~1.3 s per
+        # run at bench scale: the freshly committed chunk is small
+        # enough that the re-scan planned 1-3 input tasks regardless
+        # of core count, so the JSON re-parse ran effectively serial.
+        # Deriving from the persisted frame keeps from_json at the
+        # full task width of the heavy stage and skips the file
+        # listing/footer round-trip entirely. Semantics are unchanged:
+        # the stages are deterministic and the cached rows ARE the
+        # bytes the docs commit wrote, so results ≡
+        # explode(from_json(committed docs)) — asserted by
+        # tests/test_spark_pipeline.py's fused-vs-staged and resume
+        # row-level comparisons. Crash windows are also unchanged: the
+        # chunk's commit point stays the lineage append AFTER both
+        # writes, so a crash between them re-runs the whole chunk on
+        # resume. MEMORY_AND_DISK (the DataFrame default) spills
+        # rather than evicts, so a corpus-scale chunk never silently
+        # recomputes the heavy stage.
+        cached = extracted.persist()
+        try:
+            ckpt.write_chunk(cached, "docs", chunk_id)
 
-        m = obs.get
-        # same shape/semantics as the former groupBy: one row per
-        # bucket that actually holds documents
-        per_bucket = [
-            {
-                "bucket": b,
-                "n_docs": m[f"n_{b}"],
-                "n_failed": m[f"f_{b}"],
-                "cpu_ms": m[f"c_{b}"],
-            }
-            for b in range(lo, hi)
-            if m[f"n_{b}"]
-        ]
+            if obs is not None:
+                m = obs.get  # fulfilled by the docs write job
+                per_bucket = [
+                    {
+                        "bucket": b,
+                        "n_docs": m[f"n_{b}"],
+                        "n_failed": m[f"f_{b}"],
+                        "cpu_ms": m[f"c_{b}"],
+                    }
+                    for b in range(lo, hi)
+                    if m[f"n_{b}"]
+                ]
+            else:
+                per_bucket = []
+
+            # Long-format results: explode AFTER the heavy stage (html
+            # long gone); the JSON field payload is parsed JVM-side at
+            # codegen speed, one task per core (coalesce merges the
+            # heavy stage's wave-sized cache partitions without a
+            # shuffle — also keeps the results table at one file per
+            # core instead of waves× sliver files).
+            results = cached.select(
+                "url",
+                "bucket",
+                F.explode_outer(F.from_json("fields_json", FIELDS_T)).alias("f"),
+            ).select(
+                "url",
+                "bucket",
+                *[F.col(f"f.{c}").alias(c) for c in RESULT_COLUMNS],
+            ).where(F.col("field_name").isNotNull()).coalesce(par)
+            ckpt.write_chunk(results, "results", chunk_id)
+        finally:
+            cached.unpersist()
+
         wall_ms = int((time.perf_counter() - t0) * 1000)
         ckpt.append_lineage("extracted", chunk_id, per_bucket, wall_ms, run_id)
         return per_bucket

@@ -62,7 +62,7 @@ def run_dedup(
     resume: bool = False,
     quality_min: float | None = None,
     sample_rate: float | None = None,
-    cc_algorithm: str = "label",
+    cc_algorithm: str = "star",
     reliable_checkpoints: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -97,6 +97,17 @@ def run_dedup(
         # default it under the job's own output root
         spark.sparkContext.setCheckpointDir(f"{out_root}/_cc_checkpoints")
     if resume:
+        # Migration shim (ADVICE round 4): manifests committed before
+        # cc_algorithm became stage identity lack the key; treat the
+        # absence as the then-only algorithm ('label') and rewrite the
+        # manifest in place — same pattern as run_pipeline's ts
+        # canonicalization shim — so in-flight dedup runs stay
+        # resumable instead of failing the comparison with
+        # (None, 'label').
+        committed = ckpt.read_manifest()
+        if committed is not None and "cc_algorithm" not in committed:
+            committed["cc_algorithm"] = "label"
+            ckpt.write_manifest(committed)
         ckpt.check_manifest(manifest)
     else:
         ckpt.write_manifest(manifest)
@@ -211,9 +222,16 @@ def main() -> int:
                         help="curation: drop keep-list docs below this quality score")
     parser.add_argument("--sample-rate", type=float, default=None,
                         help="curation: deterministic content-keyed sample rate")
-    parser.add_argument("--cc", choices=["label", "star"], default="label",
-                        help="connected-components algorithm: min-label propagation "
-                             "with pointer jumping (default) or Kiveris large/small-star")
+    parser.add_argument("--cc", choices=["label", "star"], default="star",
+                        help="connected-components algorithm. Default 'star' "
+                             "(Kiveris large/small-star): measured faster on the "
+                             "sparse random-ish pair graphs verified dedup pairs "
+                             "actually form (6 vs 17 rounds, 15.1 vs 18.5 s on a "
+                             "10^5-node/1.2x10^5-edge graph — identical labelings). "
+                             "Prefer --cc label for graphs dominated by long CHAINS "
+                             "(gradual-drift near-dup sequences): round counts tie "
+                             "there (18 vs 17 on a 10^5-node path) and label-prop's "
+                             "per-round cost is lower (19.3 vs 25.8 s measured).")
     parser.add_argument("--reliable-checkpoints", action="store_true",
                         help="use fault-tolerant checkpoint() for CC lineage "
                              "truncation (long-running cluster jobs); defaults the "
