@@ -389,9 +389,19 @@ def run_pipeline(
         # resume. MEMORY_AND_DISK (the DataFrame default) spills
         # rather than evicts, so a corpus-scale chunk never silently
         # recomputes the heavy stage.
-        cached = extracted.persist()
+        # The typed field structs are parsed ONCE, inside the heavy
+        # parallel job (from_json rides job A at the full task width of
+        # the mapInPandas stage and is cached alongside the raw JSON),
+        # so the results job is a pure cache-scan + explode + write —
+        # measured 2.6 s → ~1.3 s at 32 cores for the 160k corpus. The
+        # committed docs schema is unchanged: the byte-exact
+        # ``fields_json`` envelope is what lands on disk; the typed
+        # column is cache-only.
+        cached = extracted.withColumn(
+            "_fields", F.from_json("fields_json", FIELDS_T)
+        ).persist()
         try:
-            ckpt.write_chunk(cached, "docs", chunk_id)
+            ckpt.write_chunk(cached.drop("_fields"), "docs", chunk_id)
 
             if obs is not None:
                 m = obs.get  # fulfilled by the docs write job
@@ -417,7 +427,7 @@ def run_pipeline(
             results = cached.select(
                 "url",
                 "bucket",
-                F.explode_outer(F.from_json("fields_json", FIELDS_T)).alias("f"),
+                F.explode_outer("_fields").alias("f"),
             ).select(
                 "url",
                 "bucket",

@@ -263,3 +263,191 @@ def dedup_stream(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_sha"]
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SimHash near-dup guard (round-5: the near-dup analogue of
+# dedup_stream — catch near-identical re-crawls on ingest).
+# --------------------------------------------------------------------------
+
+SIMHASH_PAIRS_SCHEMA = "doc_a string, doc_b string, hamming int, band_id int"
+# one state row per (band_id, band_val) bucket: the docs currently
+# inside the watermark horizon that hashed into it
+SIMHASH_STATE_SCHEMA = (
+    "urls array<string>, fps array<long>, tss array<long>, last_ms long"
+)
+
+
+def _make_simhash_band_fn(max_hamming: int, horizon_ms: int, max_bucket: int):
+    """Factory for the per-(band_id, band_val) stateful comparator.
+
+    Semantics mirror the batch :func:`~credit_ocr_backend_spark.
+    operators.dedup.simhash_near_dupes` join: a pair is emitted iff the
+    two docs share this band value AND their full fingerprints are
+    within ``max_hamming`` — the exact-Hamming verify runs here, so no
+    pair beyond the radius is ever emitted. Rows are processed in
+    (ts, url) order and each row is compared against every doc already
+    in the bucket (state from earlier triggers + earlier rows of this
+    trigger), so on a single availableNow pass the emitted pair set is
+    EXACTLY the batch operator's below-cap pair set restricted to
+    pairs within ``horizon_ms`` of each other (per-band; a pair
+    sharing two bands is emitted once per band — distinct() is a batch
+    concern; parity-tested in tests/test_streaming.py).
+
+    State per bucket is the (url, fingerprint, ts) triples inside the
+    watermark horizon, pruned two ways: entries older than
+    ``horizon_ms`` before the bucket's newest row drop at every
+    trigger, and the whole bucket drops via event-time timeout once
+    the watermark passes its last activity + horizon. A bucket is
+    additionally CAPPED at the ``max_bucket`` most recent entries —
+    the stream analogue of the batch star guard (a mega-cluster of
+    re-crawls would otherwise grow one state row without bound);
+    beyond the cap the oldest entries stop being matchable, which only
+    loses pairs the batch pass will still find."""
+    import pandas as pd
+
+    mask64 = (1 << 64) - 1
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        band_id = int(key[0])
+        urls, fps, tss = [], [], []
+        if state.exists:
+            u, f, t, _ = state.get
+            urls, fps, tss = list(u), list(f), list(t)
+
+        rows = []
+        for pdf in pdf_iter:
+            for url, fp, ts in zip(pdf["url"], pdf["simhash"], pdf["ts"]):
+                rows.append((int(ts.value // 1_000_000), str(url), int(fp)))
+        rows.sort()
+
+        out = []
+        for ts_ms, url, fp in rows:
+            for prev_url, prev_fp, prev_ms in zip(urls, fps, tss):
+                # per-pair horizon: an entry older than horizon_ms
+                # before THIS row is expired for this row (a strictly
+                # bounded "within watermark_s" guarantee — state not
+                # yet physically pruned must not widen the window)
+                if prev_ms < ts_ms - horizon_ms:
+                    continue
+                ham = bin((fp ^ prev_fp) & mask64).count("1")
+                if ham <= max_hamming:
+                    a, b = sorted((url, prev_url))
+                    out.append(
+                        {"doc_a": a, "doc_b": b, "hamming": ham, "band_id": band_id}
+                    )
+            urls.append(url)
+            fps.append(fp)
+            tss.append(ts_ms)
+
+        if rows:
+            newest = max(tss)
+            keep = [i for i, t in enumerate(tss) if t >= newest - horizon_ms]
+            keep = keep[-max_bucket:]
+            urls = [urls[i] for i in keep]
+            fps = [fps[i] for i in keep]
+            tss = [tss[i] for i in keep]
+            state.update((urls, fps, tss, newest))
+            state.setTimeoutTimestamp(newest + horizon_ms)
+
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def simhash_dedup_pairs_stream(
+    pages: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    url_col: str = "url",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    watermark_s: int = 3600,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming SimHash near-duplicate detection: emit (doc_a, doc_b,
+    hamming, band_id) pairs for near-identical re-crawls arriving
+    within ``watermark_s`` of each other — the near-dup companion to
+    :func:`dedup_stream`'s exact guard, with the batch
+    ``simhash_near_dupes`` semantics (band the fingerprint, candidate
+    on band equality, verify exact Hamming ≤ ``max_hamming``; banding
+    lossless for ``max_hamming <= bands - 1`` by pigeonhole).
+
+    Shape, stage by stage:
+
+    * the per-row fingerprint is a pure column expression
+      (``simhash_token_votes`` + ``simhash_from_votes`` — one array
+      fold per md5 word, NO explode/groupBy), because a streaming
+      aggregation before the stateful join would be a second stateful
+      operator in the same query;
+    * the fingerprint explodes into ``bands`` (band_id, band_val) rows
+      — same band extraction expression as the batch operator;
+    * ``applyInPandasWithState`` keyed by (band_id, band_val) holds the
+      docs of the last ``watermark_s`` per bucket and runs the exact
+      Hamming verify against them (Arrow-batched; state is
+      watermark-bounded and capped at ``max_bucket`` entries per
+      bucket — the stream analogue of the batch star guard).
+
+    NULL text rows are passed over silently (the batch operator drops
+    them too — exploding a NULL token array emits no rows); the batch
+    extraction path records them as failed documents. A pair whose
+    fingerprints share several bands repeats once per band;
+    ``distinct()`` over (doc_a, doc_b) is left to the consumer because
+    a streaming distinct would be yet another stateful operator."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from credit_ocr_backend_spark.operators.dedup import (
+        simhash_from_votes,
+        simhash_token_votes,
+    )
+
+    n_words = (bits + 15) // 16
+    width = bits // bands
+    voted = pages.where(F.col(text_col).isNotNull()).select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        *[
+            simhash_token_votes(text_col, w).alias(f"_v{w}")
+            for w in range(n_words)
+        ],
+    )
+    fp = voted.select(
+        "url",
+        "ts",
+        simhash_from_votes([f"_v{w}" for w in range(n_words)], bits).alias(
+            "simhash"
+        ),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = fp.select(
+        "url", "ts", "simhash", F.explode(band_structs).alias("b")
+    ).select("url", "ts", "simhash", "b.band_id", "b.band_val")
+
+    return (
+        banded.withWatermark("ts", f"{watermark_s} seconds")
+        .groupBy("band_id", "band_val")
+        .applyInPandasWithState(
+            _make_simhash_band_fn(max_hamming, watermark_s * 1000, max_bucket),
+            outputStructType=SIMHASH_PAIRS_SCHEMA,
+            stateStructType=SIMHASH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -317,3 +317,158 @@ def test_dedup_stream_null_html_null_url_rows_all_pass(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT * FROM dedup_null_null_out").collect()
     assert len(out) == 4
+
+
+def _near_dup_corpus():
+    """Texts with exact twins (Hamming 0 by construction), mild
+    perturbations (may or may not clear the radius — parity must hold
+    either way), and unrelated noise."""
+    words = [f"w{i}" for i in range(40)]
+    base_a = " ".join(words)
+    base_b = " ".join(words[::-1][:30])
+    rows = [
+        ("u://a1", "2025-01-01 10:00:00", base_a),
+        ("u://a2", "2025-01-01 10:01:00", base_a),           # exact twin
+        ("u://a3", "2025-01-01 10:02:00", base_a + " extra"),  # near twin
+        ("u://b1", "2025-01-01 10:03:00", base_b),
+        ("u://b2", "2025-01-01 10:30:00", base_b),           # exact twin
+        ("u://n1", "2025-01-01 10:05:00", "completely different words here kaleidoscope"),
+        ("u://n2", "2025-01-01 10:06:00", "unrelated payload of tokens zeppelin quartz"),
+        ("u://nul", "2025-01-01 10:07:00", None),            # NULL text: both paths skip
+    ]
+    return rows
+
+
+def test_simhash_row_expression_matches_batch_operator(spark):
+    """simhash_token_votes + simhash_from_votes (the shuffle-free
+    per-row shape the stream needs) produce byte-identical fingerprints
+    to the explode+groupBy batch simhash(), at 16 and 64 bits."""
+    from credit_ocr_backend_spark.operators.dedup import (
+        simhash,
+        simhash_from_votes,
+        simhash_token_votes,
+    )
+
+    df = spark.createDataFrame(
+        [(u, t) for u, _, t in _near_dup_corpus() if t is not None],
+        "url string, text string",
+    )
+    for bits in (16, 64):
+        n_words = (bits + 15) // 16
+        voted = df.select(
+            "url",
+            *[simhash_token_votes("text", w).alias(f"_v{w}") for w in range(n_words)],
+        )
+        per_row = voted.select(
+            "url",
+            simhash_from_votes([f"_v{w}" for w in range(n_words)], bits).alias("fp"),
+        )
+        batch = simhash(df, "url", "text", bits)
+        merged = per_row.join(batch, per_row["url"] == batch["doc"]).select(
+            "url", "fp", "simhash"
+        )
+        rows = merged.collect()
+        assert len(rows) == 7
+        for r in rows:
+            assert r["fp"] == r["simhash"], (bits, r["url"])
+
+
+def test_simhash_dedup_stream_matches_batch_pairs(spark, tmp_path):
+    """Stream ≡ batch parity for the near-dup guard: one availableNow
+    pass over a static corpus emits exactly the batch
+    simhash_near_dupes pair set (after per-band distinct)."""
+    from credit_ocr_backend_spark.operators.dedup import simhash_near_dupes
+    from credit_ocr_backend_spark.streaming.stream_pipeline import (
+        simhash_dedup_pairs_stream,
+    )
+
+    rows = _near_dup_corpus()
+    pages_dir = str(tmp_path / "pages")
+    df = spark.createDataFrame(
+        rows, "url string, ts_s string, text string"
+    ).select("url", F.to_timestamp("ts_s").alias("warc_ts"), "text")
+    df.coalesce(1).write.mode("overwrite").parquet(pages_dir)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(pages_dir)
+    q = (
+        simhash_dedup_pairs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("simdup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in spark.sql("SELECT * FROM simdup_out").collect()
+    }
+
+    batch = simhash_near_dupes(
+        df.where(F.col("text").isNotNull()), "url", "text"
+    ).collect()
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in batch}
+
+    assert got == want
+    # the exact twins guarantee at least two Hamming-0 pairs exist
+    assert {("u://a1", "u://a2", 0), ("u://b1", "u://b2", 0)} <= want
+
+
+def test_simhash_dedup_stream_horizon(spark, tmp_path):
+    """A re-crawl arriving beyond the watermark horizon is NOT paired
+    (state pruned) — the stream guards ingest; the batch pass owns the
+    full-corpus sweep."""
+    from credit_ocr_backend_spark.streaming.stream_pipeline import (
+        simhash_dedup_pairs_stream,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    early = [("u://x1", "2025-01-01 10:00:00", text)]
+    late = [
+        ("u://x2", "2025-01-01 13:00:00", text),  # 3h later, 1h horizon
+        ("u://x3", "2025-01-01 13:01:00", text),  # within horizon of x2
+    ]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        early, "url string, ts_s string, text string"
+    ).select("url", F.to_timestamp("ts_s").alias("warc_ts"), "text").coalesce(
+        1
+    ).write.mode("overwrite").parquet(pages_dir)
+
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "pairs_out")
+
+    def run_once():
+        # file sink: the memory sink cannot recover from a checkpoint,
+        # and the horizon semantics only show across two runs
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, text string"
+        ).parquet(pages_dir)
+        q = (
+            simhash_dedup_pairs_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(
+        late, "url string, ts_s string, text string"
+    ).select("url", F.to_timestamp("ts_s").alias("warc_ts"), "text").coalesce(
+        1
+    ).write.mode("append").parquet(pages_dir)
+    run_once()
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(sink).select("doc_a", "doc_b").distinct().collect()
+    }
+    # x2↔x3 pair within horizon; x1 pairs pruned away by the watermark
+    assert ("u://x2", "u://x3") in pairs
+    assert not any("u://x1" in p for p in pairs)
