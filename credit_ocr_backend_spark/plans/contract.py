@@ -1009,6 +1009,91 @@ def _duck_ivf(n_centroids: int = 16, nprobe: int = 4) -> str:
     """
 
 
+# Trained-quantizer centroids for the sf0.01 embeddings table,
+# generated by ivf_centroids_trained (fully deterministic — a pure
+# function of the corpus; regenerate with
+#   python -c "...ivf_centroids_trained(spark.read.parquet(
+#       '/root/testdata/sf0.01/embeddings.parquet')).collect()"
+# ). They are inlined as LITERALS in the DuckDB oracle below, so the
+# oracle independently mirrors assignment/probing/ranking AND pins the
+# training output: any drift in the Spark-side trainer shows up as a
+# hash mismatch. Pinned to sf0.01 because that is the sf the driver's
+# correctness gate runs at; at any other sf the oracle mismatches by
+# construction.
+_TRAINED_CENTS_SF001 = [
+    (0, [4, -7, 59, -84, 46, -49, -26, 8, 65, 19, 16, -17, -31, -31, -17, -34, 37, 3, -23, 32, -67, 17, 17, 14, 3, 77, 34, -6, -26, 50, 45, 79, -43, -34, -28, -25, -3, 23, -13, 31, -21, 19, -46, 61, 15, 36, 51, -21, -4, -55, 24, 80, 70, -25, 27, 56, -36, 7, -86, -76, 19, -25, -12, -97]),
+    (1, [21, -37, 21, 38, -2, 0, -38, -41, -19, -30, -21, 26, 14, 76, -66, 48, -79, -87, -71, 14, 11, 49, -31, 25, 66, 31, 22, 42, -18, 89, 31, -68, 5, 7, 31, -39, 16, -64, -62, 13, -5, 22, 28, -15, 39, 43, 26, -11, -22, -10, 29, 16, 23, 27, -47, 24, -21, -52, 2, 90, -6, 21, -10, -21]),
+    (2, [-34, -33, -17, 48, 36, 52, -51, 57, -43, 37, 20, 47, -25, 1, 52, 1, -13, 38, -12, -86, -2, 17, 12, -73, -36, 11, 4, 40, 2, -120, 4, -36, 22, 74, 5, 44, 1, 23, 48, 13, -41, -35, -33, -67, -56, -121, -15, 22, 43, -86, -21, -40, -15, 67, 33, 16, -102, 8, -4, -42, -18, 38, -52, 39]),
+    (3, [41, -48, 14, 27, 81, -85, -39, 91, 3, 36, 44, -74, -12, 14, 57, 13, 2, 9, 8, 66, 12, -13, 79, 13, 6, -36, -64, -5, 4, 54, -7, -66, -32, 40, 7, -71, 3, 51, -36, 42, -91, 16, -59, 16, -47, -29, -42, -19, 8, 62, 81, 43, -55, 32, -15, -2, 35, 44, 38, 19, 90, 35, -93, -61]),
+    (4, [15, -47, 8, -48, -70, 40, -56, 50, -20, -28, 15, 24, -8, -103, -49, 8, 18, 20, 41, 53, -46, 63, 1, -14, 35, 2, 91, 52, 26, -3, -40, 86, -15, 8, 10, 67, -27, 35, -37, 14, -46, -27, 41, 6, 2, 73, -47, 57, -24, 35, 2, -37, 28, -73, -6, 22, -20, -6, -44, -6, -53, 27, -9, 13]),
+    (5, [96, 36, 5, 33, -2, -6, -11, 6, -46, -4, -3, 9, 4, 34, -33, 59, -28, 22, 8, -73, -74, 8, 55, 53, 13, 28, -27, 11, 45, -33, 75, -8, -79, -9, 47, 20, -105, -33, 42, -26, -13, -17, 33, 25, -37, 12, 19, 85, -27, 7, 53, 16, 0, -1, -26, -29, 89, -2, 1, 17, -42, -48, 7, 63]),
+    (6, [-32, -10, -106, 17, 24, 82, -78, -22, 26, 23, 39, -31, 17, 7, 14, 26, 29, 35, 27, -18, -45, -79, 51, -27, 15, 21, -38, 74, -68, 41, 3, 52, 85, -120, -2, -13, 24, 10, -51, 21, 60, -25, 51, -10, 24, -34, -73, -48, 36, 56, -34, -54, 32, 42, 1, -30, -41, 71, -22, -29, 45, 29, -3, 69]),
+    (7, [4, -18, -1, -86, 64, 51, 38, 3, -2, -16, 6, 14, 33, 58, 35, -51, 35, 7, 8, 47, 51, -95, -19, -41, -6, 40, 73, 88, 3, 21, -24, -76, 39, 0, 56, -18, -20, 34, 70, 3, -72, -5, 17, 3, 26, -34, -29, -65, 3, -2, -39, -57, -56, -30, 27, -15, 25, -53, -21, -33, 77, 41, 20, -23]),
+    (8, [-28, 3, 73, 19, 23, -6, -52, 56, -22, -38, -50, -3, 56, -46, 33, -37, -40, -74, -89, -23, 2, -12, -6, -64, -2, 93, 8, -46, -31, -9, 70, -15, 62, -18, 60, 55, -48, 7, 32, -72, -27, -47, 26, 35, -21, 14, -48, 9, -86, -4, 0, 84, -61, 34, 44, -23, 73, -23, -12, 10, -25, -57, 20, -70]),
+    (9, [-17, 35, 24, -30, -5, 23, -35, 24, 9, 140, -63, -26, 11, -49, 42, 59, 9, -8, 40, -3, 61, -10, -45, 103, -45, 16, -34, -18, 49, 17, 13, 32, 17, 80, 27, -11, 63, -69, -75, 3, 12, 35, 79, 18, -84, -43, 0, 12, -2, 20, 12, -11, 20, -42, 5, 13, -13, 35, -76, 4, -63, -51, 9, -8]),
+    (10, [2, -14, -63, 46, 18, -29, 33, -62, 2, -115, -44, -48, -56, 31, -10, -7, 4, 81, -33, 16, 40, 53, 50, -78, -73, -27, -57, -45, -12, 26, -65, -25, -15, -7, 28, 56, 44, 49, -14, 55, 37, -24, -57, -39, 31, 32, 37, 14, 21, -55, -32, 22, 28, -57, 31, -17, 8, -64, 5, 15, -53, -9, 45, -28]),
+    (11, [6, 20, -12, -14, -75, -53, -86, -105, 7, -29, -12, -37, -89, 44, -10, -32, 53, 47, 44, -3, -34, -15, 9, 35, 27, -88, 5, 7, -29, -38, 32, 58, -14, -57, -4, -54, -10, -89, -21, -37, -6, 86, 26, -2, 8, 13, 69, -9, -44, -21, 41, -4, 53, 0, -8, -53, 44, 27, 73, 30, -27, 84, 43, -10]),
+    (12, [6, -14, 2, -70, -18, -60, 28, -20, 42, -20, 65, 33, 61, -2, 21, 14, -80, 79, -21, 27, -9, 70, -14, -26, -49, 20, -12, -6, -30, -4, -55, -73, 25, -19, -14, 0, -48, -66, 28, -3, 120, -91, 51, -9, -37, 46, -25, 42, 18, 40, 24, -43, 39, 27, 19, 18, -33, -30, 34, -107, 0, 2, 37, -60]),
+    (13, [-10, -28, 35, -4, 28, 28, 0, -17, -7, 48, 24, 38, 20, -52, 42, -51, 75, -37, 60, -2, 9, -1, -75, -5, 54, 70, 19, -33, 3, -12, -49, 16, 69, 16, -21, -33, -12, -21, 24, -49, 92, -66, -45, -58, -11, 28, 4, 12, 6, -62, -55, -45, 23, -40, -44, 3, 74, 59, 84, -5, 0, 72, -91, -16]),
+    (14, [-25, 63, -1, 2, 36, 87, -28, 80, -16, 5, -35, 80, -11, 34, -97, 61, -17, -84, 40, 14, 38, -13, 12, -39, -24, -28, -98, 0, -29, -34, 40, -3, 17, -43, -53, 5, 51, 86, 38, -50, -22, -6, -17, 27, -41, 16, 9, -38, 52, -39, 57, -1, 6, -2, 3, -57, 6, -16, -20, 5, 44, -18, 38, 33]),
+    (15, [-38, 41, 12, 69, -24, 53, 104, 59, -6, 3, 138, -23, -32, 24, -2, 56, 53, 39, -58, -58, -16, -34, -17, 32, -17, -49, 18, 20, 105, -7, 58, -44, 5, -51, -96, 12, 22, -25, -52, 50, -6, 5, -97, 21, -4, -23, 54, 36, -51, -15, 31, 38, -14, 21, 37, 23, -45, -13, -57, -22, 34, -100, 35, -46]),
+]
+
+
+def _duck_ivf_trained(nprobe: int = 4) -> str:
+    def cos(a: str, b: str) -> str:
+        return _DUCK_COS.format(
+            d_ab=_duck_dot(a, b), d_aa=_duck_dot(a, a), d_bb=_duck_dot(b, b)
+        )
+
+    values = ",\n      ".join(
+        f"({cid}, {list(v)})" for cid, v in _TRAINED_CENTS_SF001
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS ev FROM embeddings
+    ), cents(centroid_id, cv) AS (
+      VALUES {values}
+    ), assign AS (
+      SELECT vec_id, centroid_id, ev FROM (
+        SELECT e.vec_id, c.centroid_id, e.ev,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos('e.ev', 'c.cv')} DESC, c.centroid_id) AS rn
+        FROM e, cents c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT ev AS qv FROM e WHERE vec_id = 0
+    ), probes AS (
+      SELECT centroid_id, qv FROM (
+        SELECT c.centroid_id, q.qv,
+               row_number() OVER (ORDER BY {cos('c.cv', 'q.qv')} DESC, c.centroid_id) AS rn
+        FROM cents c, q
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT a.vec_id, {cos('a.ev', 'p.qv')} AS cos_sim
+      FROM assign a JOIN probes p ON a.centroid_id = p.centroid_id
+    )
+    SELECT vec_id, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """
+
+
+@_register("ivf_topk_trained", _duck_ivf_trained())
+def q_ivf_topk_trained(spark, sf):
+    """IVF-flat ANN with the k-means||-TRAINED coarse quantizer
+    (ivf_centroids_trained — balanced cells, +0.10 absolute recall at
+    every nprobe vs the content-keyed sample, BENCH/PLANS.md round 4):
+    the trainer runs live on the corpus; the oracle pins its
+    deterministic output as centroid literals and independently mirrors
+    the assignment → probe → exact-rank pipeline in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    query = emb.where(F.col("vec_id") == 0)
+    cents = SIM.ivf_centroids_trained(emb)
+    return SIM.ivf_topk(emb, query, k=10, n_centroids=16, nprobe=4, centroids=cents)
+
+
 @_register("ivf_topk", _duck_ivf())
 def q_ivf_topk(spark, sf):
     """IVF-flat ANN (the inverted-file scale path alongside LSH):
@@ -1319,26 +1404,6 @@ def q_pricing_summary(spark, sf):
             ).alias("avg_disc"),
         )
     )
-
-
-def _duck_lsh_bucket(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
-    plane_terms = []
-    for p in range(n_planes):
-        sign = (
-            f"(CASE WHEN CAST('0x' || substr(md5('p{p}_' || i), 1, 4) AS BIGINT) "
-            f"% 2 = 0 THEN 1 ELSE -1 END)"
-        )
-        proj = f"list_sum(list_transform(range(0, {dim}), i -> qv[i + 1] * {sign}))"
-        plane_terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(plane_terms)
-    return f"""
-    WITH q AS (
-      SELECT vec_id, {_DUCK_QUANT.format(col='embedding')} AS qv FROM embeddings
-    )
-    SELECT bucket, count(*) AS n FROM (
-      SELECT vec_id, {bucket} AS bucket FROM q
-    ) GROUP BY bucket
-    """
 
 
 def _duck_lsh_bucket_expr(n_planes: int = SIM.N_PLANES, dim: int = 64) -> str:
@@ -1656,7 +1721,11 @@ def q_corpus_curation(spark, sf):
     return SP.deterministic_sample(kept, 0.5, "doc_id", seed="cur")
 
 
-@_register("lsh_bucket_histogram", _duck_lsh_bucket())
+# (registration folded in round 5 to stay within the 50-row driver
+# registry when ivf_topk_trained was added: the histogram was purely
+# diagnostic, and the lsh_bucket expression itself remains
+# oracle-covered by embedding_near_dupes_lsh / batch_topk_lsh /
+# batch_topk_lsh_probe via _duck_lsh_bucket_expr.)
 def q_lsh_bucket_histogram(spark, sf):
     """ANN scale path: sign-random-projection bucket assignment
     (md5-derived hyperplanes), verified value-for-value against the SQL

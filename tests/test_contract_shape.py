@@ -57,7 +57,7 @@ def test_operator_class_coverage():
             "ngram_jaccard_fixed_pairs", "simhash_fingerprints",
         },
         "similarity": {
-            "embedding_topk", "embedding_block_maxcos", "lsh_bucket_histogram",
+            "embedding_topk", "embedding_block_maxcos", "ivf_topk_trained",
         },
         "text_analysis": {
             "token_counts", "lang_id_confusion", "doc_fingerprints",
