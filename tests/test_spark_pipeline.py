@@ -259,3 +259,25 @@ def test_doc_status_bulk(spark, tmp_path):
         assert rows[u]["status"] == point["status"]
         assert rows[u]["bucket"] == point["bucket"]
         assert rows[u]["chunk"] == point["chunk"]
+
+
+def test_more_chunks_than_buckets(spark, pages_path, tmp_path):
+    """n_chunks > n_buckets gives some chunks an EMPTY bucket range
+    (lo == hi): those must commit a sentinel lineage row instead of
+    crashing the observe() metric build (ADVICE round 4), and the
+    docs output must still be complete."""
+    out = str(tmp_path / "out")
+    res = run_pipeline(
+        spark, pages_path, out, n_buckets=2, n_chunks=4, parallelism=4
+    )
+    assert res.chunks_run == 4
+    assert res.n_docs == N_DOCS
+    docs = spark.read.parquet(f"{out}/docs")
+    assert docs.count() == N_DOCS
+    # resume over the finished run skips everything, including the
+    # empty-range chunks (their sentinel lineage rows mark them done)
+    res2 = run_pipeline(
+        spark, pages_path, out, n_buckets=2, n_chunks=4, parallelism=4,
+        resume=True,
+    )
+    assert res2.chunks_run == 0 and res2.chunks_skipped == 4
