@@ -128,3 +128,32 @@ def test_dedup_job_star_cc_and_reliable_checkpoints(spark, corpus, tmp_path):
     # resuming under a DIFFERENT cc algorithm must be refused
     with pytest.raises(ValueError):
         run_dedup(spark, corpus, out, cc_algorithm="label", resume=True)
+
+
+def test_resume_migrates_pre_cc_algorithm_manifest(spark, corpus, tmp_path):
+    """A dedup run committed before cc_algorithm became stage identity
+    (manifest lacks the key) must still resume under the historical
+    default ('label') instead of failing the manifest comparison with
+    (None, 'label') — ADVICE round 4."""
+    import json
+
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    out = str(tmp_path / "mig_out")
+    run_dedup(spark, corpus, out, jaccard=0.5, cc_algorithm="label")
+
+    # simulate the pre-change manifest by deleting the key in place
+    ckpt = CheckpointManager(spark, out)
+    manifest = ckpt.read_manifest()
+    del manifest["cc_algorithm"]
+    ckpt.write_manifest(manifest)
+
+    res = run_dedup(
+        spark, corpus, out, jaccard=0.5, cc_algorithm="label", resume=True
+    )
+    assert sorted(res["resumed_stages"]) == [0, 1, 2, 3, 4]
+    assert ckpt.read_manifest()["cc_algorithm"] == "label"
+
+    # resuming under a DIFFERENT algorithm is still an explicit error
+    with pytest.raises(ValueError):
+        run_dedup(spark, corpus, out, jaccard=0.5, cc_algorithm="star", resume=True)
