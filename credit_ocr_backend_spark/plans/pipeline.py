@@ -432,7 +432,10 @@ def run_pipeline(
                     "bucket": r["bucket"],
                     "n_docs": r["n"],
                     "n_failed": r["f"],
-                    "cpu_ms": r["c"],
+                    # sum() returns NULL for an all-NULL group (the old
+                    # observe shape filled 0.0 row-wise) — keep the
+                    # lineage schema's float contract
+                    "cpu_ms": r["c"] if r["c"] is not None else 0.0,
                 }
                 for r in cached.groupBy("bucket")
                 .agg(

@@ -373,17 +373,20 @@ def test_simhash_row_expression_matches_batch_operator(spark):
             assert r["fp"] == r["simhash"], (bits, r["url"])
 
 
-def test_simhash_dedup_stream_matches_batch_pairs(spark, tmp_path):
+@pytest.mark.parametrize("bits,bands", [(16, 4), (64, 4)])
+def test_simhash_dedup_stream_matches_batch_pairs(spark, tmp_path, bits, bands):
     """Stream ≡ batch parity for the near-dup guard: one availableNow
     pass over a static corpus emits exactly the batch
-    simhash_near_dupes pair set (after per-band distinct)."""
+    simhash_near_dupes pair set (after per-band distinct) — at the
+    16-bit default AND the documented at-scale 64-bit/16-bit-band
+    config."""
     from credit_ocr_backend_spark.operators.dedup import simhash_near_dupes
     from credit_ocr_backend_spark.streaming.stream_pipeline import (
         simhash_dedup_pairs_stream,
     )
 
     rows = _near_dup_corpus()
-    pages_dir = str(tmp_path / "pages")
+    pages_dir = str(tmp_path / f"pages{bits}")
     df = spark.createDataFrame(
         rows, "url string, ts_s string, text string"
     ).select("url", F.to_timestamp("ts_s").alias("warc_ts"), "text")
@@ -393,9 +396,9 @@ def test_simhash_dedup_stream_matches_batch_pairs(spark, tmp_path):
         "url string, warc_ts timestamp, text string"
     ).parquet(pages_dir)
     q = (
-        simhash_dedup_pairs_stream(stream)
+        simhash_dedup_pairs_stream(stream, bits=bits, bands=bands)
         .writeStream.format("memory")
-        .queryName("simdup_out")
+        .queryName(f"simdup_out{bits}")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -403,11 +406,11 @@ def test_simhash_dedup_stream_matches_batch_pairs(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in spark.sql("SELECT * FROM simdup_out").collect()
+        for r in spark.sql(f"SELECT * FROM simdup_out{bits}").collect()
     }
 
     batch = simhash_near_dupes(
-        df.where(F.col("text").isNotNull()), "url", "text"
+        df.where(F.col("text").isNotNull()), "url", "text", bits=bits, bands=bands
     ).collect()
     want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in batch}
 
