@@ -336,8 +336,6 @@ def ivf_centroids_trained(
     Returns (centroid_id = 0..k-1, cvec = quantized vector), same
     contract as :func:`ivf_centroids`, so ``ivf_assign``/``ivf_topk``
     take it unchanged."""
-    from credit_ocr_backend_spark.operators.sampling import _md5_long
-
     k = n_centroids
     l = oversample or 2 * k
     # The quantized base feeds every phase (init rounds, weighting,
@@ -375,8 +373,17 @@ def _train_quantizer(base, spark, k, l, init_rounds, lloyd_iters) -> DataFrame:
             "one vector to train on"
         )
     cand = {r["_id"]: list(r["_v"]) for r in seed}
-    # md5 uniform in [0,1): 15 hex chars / 2^60
-    two60 = float(1 << 60)
+    # md5 uniform in [0,1): _md5_long spans [0, 2^32), so the divisor
+    # is 2^32. (Rounds 1-5 divided by 2^60, squashing u into
+    # [0, 2^-28] — the admit test u < l·d²/φ then passed for nearly
+    # every vector, degenerating k-means|| into "collect the whole
+    # corpus and run driver-side k-means": correct output, but the
+    # documented O(l·rounds) candidate bound was false and the 83 s
+    # demo-scale wall was mostly that driver loop. With the honest
+    # uniform the expected admits per round are ≈ l, as the paper
+    # intends.)
+    from credit_ocr_backend_spark.operators.sampling import _HASH_SPAN
+
     for rnd in range(init_rounds):
         cand_df = F.broadcast(
             spark.createDataFrame(
@@ -395,20 +402,19 @@ def _train_quantizer(base, spark, k, l, init_rounds, lloyd_iters) -> DataFrame:
         # action per round (round-4 judge item: the separate φ collect
         # doubled the tiny-job count): the φ aggregate rides in as a
         # broadcast scalar subquery via crossJoin. Identical math —
-        # long→double division matches the old float(phi) literal
-        # bit-for-bit, so the admitted set (and every downstream
-        # centroid) is byte-equal to the two-job version. An empty
-        # pick is the combined exit: either φ = 0 (every vector is a
-        # candidate — nothing left to admit, the old break) or no
-        # vector cleared the threshold, in which case the next round
-        # would see the identical candidate set, identical (d², u)
-        # draws, and pick nothing again — so breaking now yields the
-        # same final candidate set with fewer no-op jobs.
+        # long→double division matches a driver-side float(phi)
+        # literal bit-for-bit. An EMPTY pick is ambiguous (φ = 0 —
+        # nothing left to admit — or simply no vector cleared its
+        # salted draw this round, which the classic two-job loop
+        # follows with fresh draws next round), so only that rare case
+        # pays a second tiny job to read φ and decide break-vs-continue
+        # — semantics identical to the two-job version in every case.
         phi_df = d2.agg(F.sum("_d2").alias("_phi"))
         picked = (
             d2.crossJoin(F.broadcast(phi_df))
             .withColumn(
-                "_u", _md5_long(f"kpp{rnd}:", F.col("_id")) / F.lit(two60)
+                "_u",
+                _md5_long(f"kpp{rnd}:", F.col("_id")) / F.lit(_HASH_SPAN),
             )
             .where(
                 (F.col("_phi") > 0)
@@ -418,7 +424,10 @@ def _train_quantizer(base, spark, k, l, init_rounds, lloyd_iters) -> DataFrame:
             .collect()
         )
         if not picked:
-            break
+            phi = phi_df.first()["_phi"]
+            if not phi:
+                break  # every vector is already a candidate / degenerate
+            continue  # no admit this round; next round draws fresh u
         for r in picked:
             cand[r["_id"]] = list(r["_v"])
 

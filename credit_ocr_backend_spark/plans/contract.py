@@ -1020,23 +1020,30 @@ def _duck_ivf(n_centroids: int = 16, nprobe: int = 4) -> str:
 # hash mismatch. Pinned to sf0.01 because that is the sf the driver's
 # correctness gate runs at; at any other sf the oracle mismatches by
 # construction.
+# Oracles that embed corpus-derived literals (below) hold only at the
+# scale factor they were generated from — the driver's correctness
+# gate runs at sf0.01, so that is the pin. tests/oracle_check.py skips
+# these rows when invoked at any other sf instead of reporting a
+# by-construction mismatch.
+ORACLE_SF_PINNED = {"ivf_topk_trained": "sf0.01"}
+
 _TRAINED_CENTS_SF001 = [
-    (0, [4, -7, 59, -84, 46, -49, -26, 8, 65, 19, 16, -17, -31, -31, -17, -34, 37, 3, -23, 32, -67, 17, 17, 14, 3, 77, 34, -6, -26, 50, 45, 79, -43, -34, -28, -25, -3, 23, -13, 31, -21, 19, -46, 61, 15, 36, 51, -21, -4, -55, 24, 80, 70, -25, 27, 56, -36, 7, -86, -76, 19, -25, -12, -97]),
-    (1, [21, -37, 21, 38, -2, 0, -38, -41, -19, -30, -21, 26, 14, 76, -66, 48, -79, -87, -71, 14, 11, 49, -31, 25, 66, 31, 22, 42, -18, 89, 31, -68, 5, 7, 31, -39, 16, -64, -62, 13, -5, 22, 28, -15, 39, 43, 26, -11, -22, -10, 29, 16, 23, 27, -47, 24, -21, -52, 2, 90, -6, 21, -10, -21]),
-    (2, [-34, -33, -17, 48, 36, 52, -51, 57, -43, 37, 20, 47, -25, 1, 52, 1, -13, 38, -12, -86, -2, 17, 12, -73, -36, 11, 4, 40, 2, -120, 4, -36, 22, 74, 5, 44, 1, 23, 48, 13, -41, -35, -33, -67, -56, -121, -15, 22, 43, -86, -21, -40, -15, 67, 33, 16, -102, 8, -4, -42, -18, 38, -52, 39]),
-    (3, [41, -48, 14, 27, 81, -85, -39, 91, 3, 36, 44, -74, -12, 14, 57, 13, 2, 9, 8, 66, 12, -13, 79, 13, 6, -36, -64, -5, 4, 54, -7, -66, -32, 40, 7, -71, 3, 51, -36, 42, -91, 16, -59, 16, -47, -29, -42, -19, 8, 62, 81, 43, -55, 32, -15, -2, 35, 44, 38, 19, 90, 35, -93, -61]),
-    (4, [15, -47, 8, -48, -70, 40, -56, 50, -20, -28, 15, 24, -8, -103, -49, 8, 18, 20, 41, 53, -46, 63, 1, -14, 35, 2, 91, 52, 26, -3, -40, 86, -15, 8, 10, 67, -27, 35, -37, 14, -46, -27, 41, 6, 2, 73, -47, 57, -24, 35, 2, -37, 28, -73, -6, 22, -20, -6, -44, -6, -53, 27, -9, 13]),
-    (5, [96, 36, 5, 33, -2, -6, -11, 6, -46, -4, -3, 9, 4, 34, -33, 59, -28, 22, 8, -73, -74, 8, 55, 53, 13, 28, -27, 11, 45, -33, 75, -8, -79, -9, 47, 20, -105, -33, 42, -26, -13, -17, 33, 25, -37, 12, 19, 85, -27, 7, 53, 16, 0, -1, -26, -29, 89, -2, 1, 17, -42, -48, 7, 63]),
-    (6, [-32, -10, -106, 17, 24, 82, -78, -22, 26, 23, 39, -31, 17, 7, 14, 26, 29, 35, 27, -18, -45, -79, 51, -27, 15, 21, -38, 74, -68, 41, 3, 52, 85, -120, -2, -13, 24, 10, -51, 21, 60, -25, 51, -10, 24, -34, -73, -48, 36, 56, -34, -54, 32, 42, 1, -30, -41, 71, -22, -29, 45, 29, -3, 69]),
-    (7, [4, -18, -1, -86, 64, 51, 38, 3, -2, -16, 6, 14, 33, 58, 35, -51, 35, 7, 8, 47, 51, -95, -19, -41, -6, 40, 73, 88, 3, 21, -24, -76, 39, 0, 56, -18, -20, 34, 70, 3, -72, -5, 17, 3, 26, -34, -29, -65, 3, -2, -39, -57, -56, -30, 27, -15, 25, -53, -21, -33, 77, 41, 20, -23]),
-    (8, [-28, 3, 73, 19, 23, -6, -52, 56, -22, -38, -50, -3, 56, -46, 33, -37, -40, -74, -89, -23, 2, -12, -6, -64, -2, 93, 8, -46, -31, -9, 70, -15, 62, -18, 60, 55, -48, 7, 32, -72, -27, -47, 26, 35, -21, 14, -48, 9, -86, -4, 0, 84, -61, 34, 44, -23, 73, -23, -12, 10, -25, -57, 20, -70]),
-    (9, [-17, 35, 24, -30, -5, 23, -35, 24, 9, 140, -63, -26, 11, -49, 42, 59, 9, -8, 40, -3, 61, -10, -45, 103, -45, 16, -34, -18, 49, 17, 13, 32, 17, 80, 27, -11, 63, -69, -75, 3, 12, 35, 79, 18, -84, -43, 0, 12, -2, 20, 12, -11, 20, -42, 5, 13, -13, 35, -76, 4, -63, -51, 9, -8]),
-    (10, [2, -14, -63, 46, 18, -29, 33, -62, 2, -115, -44, -48, -56, 31, -10, -7, 4, 81, -33, 16, 40, 53, 50, -78, -73, -27, -57, -45, -12, 26, -65, -25, -15, -7, 28, 56, 44, 49, -14, 55, 37, -24, -57, -39, 31, 32, 37, 14, 21, -55, -32, 22, 28, -57, 31, -17, 8, -64, 5, 15, -53, -9, 45, -28]),
-    (11, [6, 20, -12, -14, -75, -53, -86, -105, 7, -29, -12, -37, -89, 44, -10, -32, 53, 47, 44, -3, -34, -15, 9, 35, 27, -88, 5, 7, -29, -38, 32, 58, -14, -57, -4, -54, -10, -89, -21, -37, -6, 86, 26, -2, 8, 13, 69, -9, -44, -21, 41, -4, 53, 0, -8, -53, 44, 27, 73, 30, -27, 84, 43, -10]),
-    (12, [6, -14, 2, -70, -18, -60, 28, -20, 42, -20, 65, 33, 61, -2, 21, 14, -80, 79, -21, 27, -9, 70, -14, -26, -49, 20, -12, -6, -30, -4, -55, -73, 25, -19, -14, 0, -48, -66, 28, -3, 120, -91, 51, -9, -37, 46, -25, 42, 18, 40, 24, -43, 39, 27, 19, 18, -33, -30, 34, -107, 0, 2, 37, -60]),
-    (13, [-10, -28, 35, -4, 28, 28, 0, -17, -7, 48, 24, 38, 20, -52, 42, -51, 75, -37, 60, -2, 9, -1, -75, -5, 54, 70, 19, -33, 3, -12, -49, 16, 69, 16, -21, -33, -12, -21, 24, -49, 92, -66, -45, -58, -11, 28, 4, 12, 6, -62, -55, -45, 23, -40, -44, 3, 74, 59, 84, -5, 0, 72, -91, -16]),
-    (14, [-25, 63, -1, 2, 36, 87, -28, 80, -16, 5, -35, 80, -11, 34, -97, 61, -17, -84, 40, 14, 38, -13, 12, -39, -24, -28, -98, 0, -29, -34, 40, -3, 17, -43, -53, 5, 51, 86, 38, -50, -22, -6, -17, 27, -41, 16, 9, -38, 52, -39, 57, -1, 6, -2, 3, -57, 6, -16, -20, 5, 44, -18, 38, 33]),
-    (15, [-38, 41, 12, 69, -24, 53, 104, 59, -6, 3, 138, -23, -32, 24, -2, 56, 53, 39, -58, -58, -16, -34, -17, 32, -17, -49, 18, 20, 105, -7, 58, -44, 5, -51, -96, 12, 22, -25, -52, 50, -6, 5, -97, 21, -4, -23, 54, 36, -51, -15, 31, 38, -14, 21, 37, 23, -45, -13, -57, -22, 34, -100, 35, -46]),
+    (0, [51, 42, -35, 34, 9, 7, -16, 31, 44, -43, 33, -76, -4, -48, 3, -45, 17, 79, -73, -19, -10, 7, 24, -68, 11, -45, 94, -3, -34, -55, -15, 0, 92, -3, -34, 93, -35, -72, 26, -44, -73, 20, -54, -58, 46, -58, -7, 16, -9, -91, -1, -37, 15, 9, 27, -9, -35, -46, -23, -73, 31, -1, 35, -10]),
+    (1, [10, -15, -36, 4, 107, 76, -35, 88, 1, 10, -17, -23, -14, -20, -38, 33, -40, -2, -26, 16, 18, -62, -8, 45, -26, 63, -18, 39, 7, 40, 11, 32, 6, -11, 9, 30, -93, 68, -36, 85, -7, 14, 149, 40, -87, -13, 34, -57, 17, -15, 13, -7, -12, 18, -3, -36, 67, -12, 42, -1, -27, 4, 17, 45]),
+    (2, [-62, -28, 37, 37, 5, -15, -7, 40, -50, 57, -14, 88, -91, 17, -36, -82, 19, 0, -17, 15, -19, 47, -3, -93, -45, -14, -61, 132, 31, -54, 35, -53, -8, 20, 11, -8, -5, 45, 10, -18, -49, 14, -84, -100, -93, -95, -26, -12, -23, -33, -1, -14, -12, -29, -1, 33, -94, -38, -15, -101, -65, 104, -21, 8]),
+    (3, [0, -68, -73, -11, 1, 46, 27, 2, 0, 49, 34, 27, -50, 44, 10, -80, -44, -88, -1, 5, 42, 4, -41, -6, 64, 83, -5, -23, -20, -21, 5, 59, 83, 7, 46, -1, 34, -8, -62, -14, 26, -103, -76, -15, 27, 59, 23, -41, 34, 39, -17, -37, 1, 7, -42, -11, 63, -4, 49, 51, 41, 1, -43, -35]),
+    (4, [-79, 75, 0, -84, -20, 79, 9, 25, 36, -55, -39, -5, -14, 20, -4, 48, 52, -83, 83, 13, 63, 36, 60, 8, 52, 22, -63, 20, -67, -52, -57, 32, 1, -6, -28, 26, 77, 42, 26, -83, -57, 32, -22, 22, -28, 22, 1, -112, -11, -19, -9, 24, 20, 6, 19, -79, 13, -63, -52, -22, 28, 51, 26, -30]),
+    (5, [32, 40, -142, 33, 1, -23, 296, 30, 193, -73, -19, -184, -61, 124, -47, 104, 45, 203, 19, 80, 17, 4, 147, -108, -113, 12, -120, 42, -132, -64, -20, -89, -39, -30, 16, -3, -75, 170, 112, 213, 24, 52, -82, 15, 42, -21, -8, -159, -146, 36, 22, 19, 27, -105, 95, -206, 3, -13, 188, -31, -128, -97, -44, -61]),
+    (6, [-29, 60, 39, 37, 4, 36, -69, 4, 1, 66, -82, 127, 6, -50, -29, 20, 79, -36, 52, -10, -40, -45, -35, 35, 22, -31, 74, -3, 16, 38, 7, 6, -16, -31, -19, -62, -44, -12, 23, -3, -12, 24, -20, -6, 22, -18, -49, 11, -36, -72, 39, -4, 49, 2, -63, 66, 58, 102, 44, -3, -22, 64, 3, -45]),
+    (7, [81, 3, 28, 18, -14, -36, -12, 105, -27, 18, -17, -30, 49, -44, 26, 56, -53, -42, -72, 22, -35, -17, 31, 78, 60, -69, -88, 59, -16, 39, 65, -1, -39, 21, 42, 57, -2, -31, -14, -27, -29, -44, -9, -1, -35, 28, -28, 105, 2, -5, 41, -8, -70, 21, 11, -5, 14, -35, -101, 15, -4, -52, 13, -106]),
+    (8, [-52, -33, -87, 39, 28, 38, -84, 1, -15, -17, 87, -6, 28, -21, 47, -27, -30, 73, 30, -40, 11, 7, 6, -20, 16, -12, 0, 28, -76, 7, -26, -22, 65, -31, -29, 5, 47, 46, 61, 63, 12, 23, -66, -11, -39, -6, 1, 11, 39, -31, 35, -42, 0, 52, -48, 26, -67, 73, 0, 41, 51, 53, -66, -9]),
+    (9, [-43, 13, 55, -24, 7, -2, -5, 3, -2, 70, 10, 6, 41, -7, 25, 20, 25, 30, 23, 10, -16, -56, -9, -46, -16, 6, -7, 32, 7, 7, 5, -2, 59, 1, 10, 24, 23, -40, -38, 23, 51, -38, 50, 63, -39, -9, -14, 20, -42, 37, 9, 73, 65, -32, 54, 35, 19, -17, -75, -49, 19, -6, -9, 47]),
+    (10, [-11, 31, 30, -59, -4, 28, -31, -27, -1, -27, -68, 49, 51, -40, 57, -37, -56, -55, -43, -28, 39, 23, -12, -57, -10, 85, 31, -49, 10, -3, 11, -39, 7, -14, 13, -27, -13, -13, 54, -101, 2, -60, 53, -71, -1, 0, -1, 18, -31, -42, -74, 41, -75, -4, -14, -22, 22, -13, -4, -2, -69, -30, 9, -27]),
+    (11, [11, -9, 19, 22, -49, -106, 82, 48, -18, 64, 54, 44, -26, 29, 15, 62, 96, 1, 12, -7, -17, 14, -9, 152, -16, 6, -25, 15, 88, 92, 46, -4, 32, 107, -34, 41, 46, -86, -18, 37, -25, 93, -76, 35, 13, -50, 47, -20, 4, -55, 79, -47, 0, -18, 8, -47, -83, -85, 51, -2, 50, -73, 67, -95]),
+    (12, [47, -53, 27, -18, -28, -16, -21, 18, 10, -4, -6, -5, -1, -57, -116, 32, -8, 0, 98, 19, -62, 144, -46, 27, 15, 113, 135, -12, 22, 5, -93, 81, -51, 16, 23, 22, -42, -23, -65, -4, 0, -55, -16, -10, -3, 57, -2, 17, -65, 24, 9, 11, 13, -53, 10, 75, -14, 11, -76, 4, 21, 50, 2, -23]),
+    (13, [29, -30, 55, -19, 29, 24, -52, 37, 21, -87, 90, -11, -22, 14, -35, -11, 2, 19, -2, 29, 19, -10, 30, -73, -23, 33, 35, 44, 13, 63, -27, -93, -29, 23, 8, -38, -59, 61, 58, 27, -37, -22, 1, 87, 5, 9, 16, 3, -17, 47, 69, -25, -42, 4, 52, -83, -22, 2, 33, -18, 47, -20, -41, -18]),
+    (14, [49, 9, 41, -11, 34, -76, -31, -53, -7, -8, 63, -72, -5, 54, 20, 58, 44, 77, 27, -9, -55, -15, 31, 8, -24, 2, -18, -18, 23, -53, 80, -9, -14, -39, 13, -92, -38, -54, -39, -21, 13, 41, -14, -29, -12, 23, 1, 59, 20, -1, 12, -27, 32, 7, 19, -28, 35, 22, 53, -41, -57, -14, 11, -23]),
+    (15, [34, -47, -44, 7, -11, -7, 9, -72, -35, -72, -45, -2, -50, 82, -15, 36, 8, 44, -68, -1, -11, 59, 27, 10, -60, -50, -68, -41, 16, -24, 12, -27, -73, -60, 2, 19, 29, 22, 4, 19, 29, -12, 46, -26, 38, 32, 6, 16, 50, -38, -17, -5, 72, -39, 3, 22, -13, -10, 1, 38, -20, -6, 41, 18]),
 ]
 
 
@@ -1719,24 +1726,6 @@ def q_corpus_curation(spark, sf):
     clusters = D.duplicate_clusters(_verified_pairs_df(spark, sf))
     kept = D.canonical_keep_list(quality_ok, clusters)
     return SP.deterministic_sample(kept, 0.5, "doc_id", seed="cur")
-
-
-# (registration folded in round 5 to stay within the 50-row driver
-# registry when ivf_topk_trained was added: the histogram was purely
-# diagnostic, and the lsh_bucket expression itself remains
-# oracle-covered by embedding_near_dupes_lsh / batch_topk_lsh /
-# batch_topk_lsh_probe via _duck_lsh_bucket_expr.)
-def q_lsh_bucket_histogram(spark, sf):
-    """ANN scale path: sign-random-projection bucket assignment
-    (md5-derived hyperplanes), verified value-for-value against the SQL
-    mirror — at 10^12 rows the table is clustered by this bucket and a
-    query reads ~n/2^planes rows."""
-    e = _t(spark, sf, "embeddings")
-    return (
-        e.select(SIM.lsh_bucket("embedding").alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-    )
 
 
 @_register(

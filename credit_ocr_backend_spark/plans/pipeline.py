@@ -397,7 +397,16 @@ def run_pipeline(
         # writes, so a crash between them re-runs the whole chunk on
         # resume. MEMORY_AND_DISK (the DataFrame default) spills
         # rather than evicts, so a corpus-scale chunk never silently
-        # recomputes the heavy stage.
+        # recomputes the heavy stage. Residual exposure if a cached
+        # partition IS lost (executor death between the two writes):
+        # Spark recomputes it through the deterministic stages, so the
+        # results/field values still match the committed docs exactly;
+        # only the wall-clock ``proc_ms`` metering re-measures, so the
+        # lineage cpu_ms for that partition's buckets can drift a few
+        # ms from the committed docs' proc_ms sum — metrics, never
+        # data. (The old derive-from-committed shape had the inverse
+        # cost on EVERY run; this one pays a metric wobble only on
+        # executor loss.)
         # The typed field structs are parsed ONCE, inside the heavy
         # parallel job (from_json rides job A at the full task width of
         # the mapInPandas stage and is cached alongside the raw JSON),

@@ -331,8 +331,12 @@ def _make_simhash_band_fn(max_hamming: int, horizon_ms: int, max_bucket: int):
                 # per-pair horizon: an entry older than horizon_ms
                 # before THIS row is expired for this row (a strictly
                 # bounded "within watermark_s" guarantee — state not
-                # yet physically pruned must not widen the window)
-                if prev_ms < ts_ms - horizon_ms:
+                # yet physically pruned must not widen the window).
+                # Same-url re-crawls never self-pair: the batch
+                # operator's doc_a < doc_b join cannot emit (x, x),
+                # and a same-url near-identical re-crawl is the exact
+                # dedup_stream's territory anyway.
+                if prev_ms < ts_ms - horizon_ms or prev_url == url:
                     continue
                 ham = bin((fp ^ prev_fp) & mask64).count("1")
                 if ham <= max_hamming:
@@ -346,8 +350,14 @@ def _make_simhash_band_fn(max_hamming: int, horizon_ms: int, max_bucket: int):
 
         if rows:
             newest = max(tss)
+            # prune by horizon, then cap at the max_bucket entries with
+            # the LARGEST event times (append order is trigger-arrival
+            # order — a late row appended last must not displace a
+            # newer-by-event-time entry)
             keep = [i for i, t in enumerate(tss) if t >= newest - horizon_ms]
+            keep.sort(key=lambda i: (tss[i], urls[i]))
             keep = keep[-max_bucket:]
+            keep.sort()  # preserve arrival order within the survivors
             urls = [urls[i] for i in keep]
             fps = [fps[i] for i in keep]
             tss = [tss[i] for i in keep]

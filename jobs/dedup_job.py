@@ -62,7 +62,7 @@ def run_dedup(
     resume: bool = False,
     quality_min: float | None = None,
     sample_rate: float | None = None,
-    cc_algorithm: str = "star",
+    cc_algorithm: str | None = None,
     reliable_checkpoints: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
@@ -74,6 +74,23 @@ def run_dedup(
     )
 
     ckpt = CheckpointManager(spark, out_root)
+    # cc_algorithm=None means "no explicit choice": a fresh run takes
+    # the current default ('star', measured faster on the sparse
+    # random pair graphs verified dedup pairs form); a RESUME follows
+    # whatever the committed manifest pinned — otherwise flipping the
+    # project default would strand every in-flight run started under
+    # the old one (round-5 review finding: the migration shim wrote
+    # 'label' into old manifests and the new default then failed the
+    # manifest comparison anyway).
+    if cc_algorithm is None:
+        committed = ckpt.read_manifest() if resume else None
+        if committed is not None:
+            # a manifest from before cc_algorithm existed ran 'label'
+            # (the only algorithm then) — same rule the shim below
+            # writes into the manifest
+            cc_algorithm = committed.get("cc_algorithm", "label")
+        else:
+            cc_algorithm = "star"
     # Curation params are deliberately NOT part of the stage-identity
     # manifest: they only define the cheap curated tail, and pinning
     # them would force recomputing every expensive global-join stage
@@ -222,8 +239,9 @@ def main() -> int:
                         help="curation: drop keep-list docs below this quality score")
     parser.add_argument("--sample-rate", type=float, default=None,
                         help="curation: deterministic content-keyed sample rate")
-    parser.add_argument("--cc", choices=["label", "star"], default="star",
-                        help="connected-components algorithm. Default 'star' "
+    parser.add_argument("--cc", choices=["label", "star"], default=None,
+                        help="connected-components algorithm. Default: follow the "
+                             "committed manifest on --resume, else 'star' "
                              "(Kiveris large/small-star): measured faster on the "
                              "sparse random-ish pair graphs verified dedup pairs "
                              "actually form (6 vs 17 rounds, 15.1 vs 18.5 s on a "

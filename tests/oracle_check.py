@@ -70,9 +70,20 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # Oracles that embed corpus-derived literals are only valid at the
+    # pinned sf (the driver's correctness gate runs at sf0.01); at any
+    # other sf the comparison fails BY CONSTRUCTION, so skip with a
+    # visible note instead of reporting a spurious red.
+    from credit_ocr_backend_spark.plans.contract import ORACLE_SF_PINNED
+
+    sf_name = os.path.basename(sf.rstrip("/"))
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        pinned = ORACLE_SF_PINNED.get(name)
+        if pinned is not None and pinned != sf_name:
+            print(f"skip  {name}: oracle literals pinned to {pinned}, running {sf_name}")
             continue
         try:
             sdf = fn(spark, sf)

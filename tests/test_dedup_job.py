@@ -148,12 +148,13 @@ def test_resume_migrates_pre_cc_algorithm_manifest(spark, corpus, tmp_path):
     del manifest["cc_algorithm"]
     ckpt.write_manifest(manifest)
 
-    res = run_dedup(
-        spark, corpus, out, jaccard=0.5, cc_algorithm="label", resume=True
-    )
+    # the realistic CLI path: no explicit --cc on resume → follow the
+    # committed manifest (historical default 'label'), NOT the current
+    # fresh-run default 'star'
+    res = run_dedup(spark, corpus, out, jaccard=0.5, resume=True)
     assert sorted(res["resumed_stages"]) == [0, 1, 2, 3, 4]
     assert ckpt.read_manifest()["cc_algorithm"] == "label"
 
-    # resuming under a DIFFERENT algorithm is still an explicit error
+    # resuming under an EXPLICITLY different algorithm is still an error
     with pytest.raises(ValueError):
         run_dedup(spark, corpus, out, jaccard=0.5, cc_algorithm="star", resume=True)

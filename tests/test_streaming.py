@@ -475,3 +475,41 @@ def test_simhash_dedup_stream_horizon(spark, tmp_path):
     # x2↔x3 pair within horizon; x1 pairs pruned away by the watermark
     assert ("u://x2", "u://x3") in pairs
     assert not any("u://x1" in p for p in pairs)
+
+
+def test_simhash_dedup_stream_no_self_pairs(spark, tmp_path):
+    """A same-url re-crawl must not emit a degenerate (x, x) pair —
+    the batch operator's doc_a < doc_b join can never produce one, and
+    same-url payload dedup is dedup_stream's job."""
+    from credit_ocr_backend_spark.streaming.stream_pipeline import (
+        simhash_dedup_pairs_stream,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        ("u://same", "2025-01-01 10:00:00", text),
+        ("u://same", "2025-01-01 10:05:00", text),   # re-crawl, same url
+        ("u://other", "2025-01-01 10:10:00", text),  # distinct url, twin text
+    ]
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, ts_s string, text string").select(
+        "url", F.to_timestamp("ts_s").alias("warc_ts"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(pages_dir)
+
+    stream = spark.readStream.schema(
+        "url string, warc_ts timestamp, text string"
+    ).parquet(pages_dir)
+    q = (
+        simhash_dedup_pairs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("simdup_self")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM simdup_self").collect()}
+    assert ("u://same", "u://same") not in pairs
+    # the cross-url twin IS caught (both copies of u://same pair with it)
+    assert ("u://other", "u://same") in pairs
