@@ -1090,8 +1090,9 @@ def _duck_ivf_trained(nprobe: int = 4) -> str:
 @_register("ivf_topk_trained", _duck_ivf_trained())
 def q_ivf_topk_trained(spark, sf):
     """IVF-flat ANN with the k-means||-TRAINED coarse quantizer
-    (ivf_centroids_trained — balanced cells, +0.10 absolute recall at
-    every nprobe vs the content-keyed sample, BENCH/PLANS.md round 4):
+    (ivf_centroids_trained — on clustered corpora, recall@10 1.000 at
+    nprobe=1 vs 0.740 for the content-keyed sample; a wash on the
+    near-uniform testdata — BENCH/PLANS.md round 5):
     the trainer runs live on the corpus; the oracle pins its
     deterministic output as centroid literals and independently mirrors
     the assignment → probe → exact-rank pipeline in SQL."""
