@@ -3,11 +3,21 @@ metadata, with Arrow-batched decode / feature-extract / resize /
 frame-sample stages.
 
 The Spark-side plumbing — schemas, batching, partition sizing, UDF
-signatures — is real and tested; the *codec* step is STUBBED because
-this container has no image/audio libraries: ``decode_stub`` derives a
-deterministic fake raster/waveform from the payload bytes (documented
-NotImplementedError escape hatch for the real codecs). Swapping in
-Pillow/torchaudio later changes exactly one function per modality.
+signatures — is real and tested. The codec layer (round 5) is REAL
+for every format the Python standard library can decode:
+
+* **PNG** — pure-stdlib decoder (zlib inflate + the five scanline
+  filters incl. Paeth, PNG spec §9): 8-bit gray/RGB/RGBA → numpy
+  raster; round-trip-tested against an independent encoder.
+* **BMP** — 24-bit uncompressed, struct-parsed.
+* **WAV** — stdlib ``wave`` + ``audioop``: real PCM decode, duration,
+  RMS, 12-segment energy envelope.
+
+Formats that genuinely need native libraries (JPEG, MP4, …) raise
+``NotImplementedError`` inside the row-isolated stage and fall back to
+``fingerprint_features`` — a deterministic digest-derived vector that
+keeps the pipeline shape testable end-to-end; swapping in
+Pillow/pyav later changes exactly one sniff branch per format.
 
 Scale notes: media payloads are the same heavy-blob problem as giant
 html — the stages below expect the caller to have routed oversized
@@ -43,20 +53,275 @@ FRAME_SAMPLE_SCHEMA = (
 
 N_FEATURES = 16
 
-_REAL_CODECS = False  # flip when PIL/av/torchaudio are installed
 
-
-def decode_stub(payload: bytes, kind: str) -> List[float]:
-    """Deterministic fake decode: a 16-dim feature vector derived from
-    the payload digest. REPLACE with a real codec (PIL for images,
-    pyav for video, soundfile for audio) when available."""
-    if _REAL_CODECS:
-        raise NotImplementedError(
-            "real image/audio decoding requires PIL/av/soundfile — "
-            "not present in this environment"
-        )
+def fingerprint_features(payload: bytes, kind: str) -> List[float]:
+    """Deterministic digest-derived 16-dim vector — the FALLBACK for
+    payloads no in-container codec can decode (JPEG, MP4, …) and for
+    raw/synthetic blobs. Not a decode; named accordingly (the round-4
+    name ``decode_stub`` survives as an alias for callers)."""
     digest = hashlib.sha256(kind.encode("utf-8") + payload).digest()
     return [round(b / 255.0, 6) for b in digest[:N_FEATURES]]
+
+
+decode_stub = fingerprint_features  # round-4 name
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure standard library — public file-format knowledge)
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: "np.ndarray", height: int, stride: int, bpp: int):
+    """Undo PNG scanline filters (spec §9: None/Sub/Up/Average/Paeth).
+    ``raw`` is the inflated IDAT byte stream as uint8, one filter byte
+    per row. Returns (height, stride) uint8 matrix."""
+    import numpy as np
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[pos])
+        row = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub
+            cur = row.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = row.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = row.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        cur = cur.astype(np.uint8)
+        out[y] = cur
+        prev = out[y]
+    return out
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
+
+
+def decode_png(payload: bytes):
+    """Pure-stdlib PNG decode → (H, W, C) uint8 numpy array. Supports
+    bit depth 8, color types gray/RGB/RGBA, no interlace — everything
+    else raises (row-isolated by the stage)."""
+    import struct as _struct
+
+    import numpy as np
+    import zlib as _zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("PNG: bad signature")
+    pos, width = 8, None
+    idat = b""
+    while pos < len(payload):
+        (length,), ctype = _struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG: bit depth {depth} (only 8)")
+            if color not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG: color type {color}")
+            if interlace:
+                raise NotImplementedError("PNG: Adam7 interlace")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    channels = _PNG_CHANNELS[color]
+    stride = width * channels
+    raw = np.frombuffer(_zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG: IDAT size mismatch")
+    mat = _png_unfilter(raw, height, stride, channels)
+    return mat.reshape(height, width, channels)
+
+
+def encode_png(img) -> bytes:
+    """Minimal PNG encoder (filter 0 rows) — the independent round-trip
+    oracle for :func:`decode_png` and a real small-raster sink."""
+    import struct as _struct
+
+    import numpy as np
+    import zlib as _zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data)) + ctype + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    scan = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(scan, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_bmp(payload: bytes):
+    """24-bit uncompressed BMP → (H, W, 3) uint8 (top-down order)."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("BMP: bad signature")
+    data_off = _struct.unpack("<I", payload[10:14])[0]
+    hdr_size = _struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP: core header")
+    width, height = _struct.unpack("<ii", payload[18:26])
+    planes, depth = _struct.unpack("<HH", payload[26:30])
+    compression = _struct.unpack("<I", payload[30:34])[0]
+    if depth != 24 or compression != 0:
+        raise NotImplementedError(f"BMP: depth={depth} compression={compression}")
+    flip = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    for y in range(height):
+        off = data_off + y * stride
+        row = np.frombuffer(payload[off: off + width * 3], dtype=np.uint8)
+        rows.append(row.reshape(width, 3)[:, ::-1])  # BGR → RGB
+    mat = np.stack(rows)
+    return mat[::-1] if flip else mat  # bottom-up storage → top-down
+
+
+def decode_wav(payload: bytes) -> Dict[str, Any]:
+    """Real PCM WAV decode via stdlib ``wave`` + numpy DSP: channel
+    count, sample rate, duration, full-clip RMS and a 12-segment RMS
+    envelope. (``audioop`` would do the RMS but is removed in Python
+    3.13 — numpy over the raw PCM is equivalent and keeps this
+    forward-compatible.)"""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        sample_width = w.getsampwidth()
+        n_frames = w.getnframes()
+        pcm = w.readframes(n_frames)
+    if sample_width not in (1, 2, 4):
+        raise NotImplementedError(f"WAV: sample width {sample_width}")
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sample_width]
+    samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    if sample_width == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned, centred at 128
+    peak = float(1 << (8 * sample_width - 1))
+
+    def _rms(x) -> float:
+        return float(np.sqrt(np.mean(x * x))) / peak if x.size else 0.0
+
+    rms = _rms(samples)
+    seg_len = max(samples.size // 12, 1)
+    envelope = [
+        _rms(samples[i * seg_len: (i + 1) * seg_len]) for i in range(12)
+    ]
+    return {
+        "channels": n_channels,
+        "sample_rate": sample_rate,
+        "duration_ms": int(n_frames * 1000 / sample_rate) if sample_rate else 0,
+        "rms": rms,
+        "envelope": envelope,
+    }
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbour raster resize (numpy fancy indexing — the real
+    resize op for thumbnailing decoded rasters)."""
+    import numpy as np
+
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img) -> List[float]:
+    """16-dim feature vector from a decoded raster: normalized dims +
+    channel count + gray mean/std + 11-bin gray histogram fractions."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    gray = img[:, :, :3].mean(axis=2) if c >= 3 else img[:, :, 0]
+    hist, _ = np.histogram(gray, bins=11, range=(0.0, 255.0001))
+    hist = hist / gray.size
+    feats = [
+        round(min(w / 4096.0, 1.0), 6),
+        round(min(h / 4096.0, 1.0), 6),
+        float(c),
+        round(float(gray.mean()) / 255.0, 6),
+        round(float(gray.std()) / 255.0, 6),
+    ] + [round(float(f), 6) for f in hist]
+    return feats[:N_FEATURES]
+
+
+def audio_features(meta: Dict[str, Any]) -> List[float]:
+    """16-dim vector from decoded WAV stats: duration/rate/channels/RMS
+    + the 12-segment envelope (truncated to fit N_FEATURES)."""
+    feats = [
+        round(min(meta["duration_ms"] / 60000.0, 1.0), 6),
+        round(min(meta["sample_rate"] / 48000.0, 1.0), 6),
+        float(meta["channels"]),
+        round(meta["rms"], 6),
+    ] + [round(v, 6) for v in meta["envelope"]]
+    return feats[:N_FEATURES]
+
+
+def decode_features(payload: bytes, kind: str) -> List[float]:
+    """REAL decode when a stdlib codec matches the payload's magic
+    bytes (PNG / BMP / WAV), else NotImplementedError for formats that
+    need native libraries — the caller's row isolation converts that
+    into decode_ok=False + fingerprint fallback."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return image_features(decode_png(payload))
+    if payload[:2] == b"BM":
+        return image_features(decode_bmp(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(decode_wav(payload))
+    raise NotImplementedError(
+        f"no in-container codec for this {kind} payload "
+        "(JPEG/MP4/... need Pillow/pyav — not present here)"
+    )
 
 
 def make_feature_stage():
@@ -79,10 +344,13 @@ def make_feature_stage():
                     "decode_ok": False,
                 }
                 try:
-                    row["features"] = decode_stub(raw, kind)
+                    row["features"] = decode_features(raw, kind)
                     row["decode_ok"] = True
                 except Exception:
-                    pass
+                    # no codec (or corrupt payload): deterministic
+                    # fingerprint features keep the row flowing;
+                    # decode_ok=False records the truth
+                    row["features"] = fingerprint_features(raw, kind)
                 rows.append(row)
             yield pd.DataFrame(rows)
 

@@ -1826,7 +1826,7 @@ def q_video_frame_samples(spark, sf):
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-             || '|' || CAST(true AS VARCHAR) AS kind,
+             || '|' || CAST(false AS VARCHAR) AS kind,
            CAST(-1 AS INT) AS idx,
            strlen(text) AS n_bytes,
            sha256(text) AS sha
@@ -1851,8 +1851,11 @@ def q_multimodal_pipeline(spark, sf):
     unchanged from the round-3 ``multimodal_features`` /
     ``video_frame_samples`` registrations (both individually green in
     r02/r03 gates); the per-branch helpers above stay importable and
-    unit-tested.  The stubbed decode's feature vector remains covered
-    by unit tests (no codec libs in the sandbox)."""
+    unit-tested.  Round 5: decode_ok now means a REAL decode happened
+    (stdlib PNG/BMP/WAV codecs, tests/test_multimodal.py); the
+    synthetic text payloads here carry no codec magic, so the oracle
+    expects decode_ok=false with the deterministic fingerprint
+    features (themselves unit-pinned)."""
     feats = q_multimodal_features(spark, sf).select(
         "media_id",
         F.concat_ws("|", F.col("kind"), F.col("decode_ok").cast("string")).alias(
