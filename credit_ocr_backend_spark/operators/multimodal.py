@@ -82,36 +82,42 @@ def _png_unfilter(raw: "np.ndarray", height: int, stride: int, bpp: int):
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
         ftype = int(raw[pos])
-        row = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        row = raw[pos + 1: pos + 1 + stride]
         pos += 1 + stride
         if ftype == 0:
-            cur = row
-        elif ftype == 1:  # Sub
             cur = row.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (row + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = row.copy()
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = row.copy()
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum mod 256
+            cur = np.empty(stride, dtype=np.uint8)
+            for o in range(bpp):
+                cur[o::bpp] = np.cumsum(row[o::bpp].astype(np.int64)) & 0xFF
+        elif ftype == 2:  # Up: fully vectorized
+            cur = (row.astype(np.int32) + prev) & 0xFF
+            cur = cur.astype(np.uint8)
+        elif ftype in (3, 4):
+            # Average/Paeth carry a left-neighbour dependency — run the
+            # sequential scan over Python int lists (several-fold
+            # faster than per-element numpy scalar indexing)
+            r = row.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
+            if ftype == 3:  # Average
+                for x in range(stride):
+                    left = cur_l[x - bpp] if x >= bpp else 0
+                    cur_l[x] = (r[x] + ((left + pv[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(stride):
+                    a = cur_l[x - bpp] if x >= bpp else 0
+                    b = pv[x]
+                    c = pv[x - bpp] if x >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur_l[x] = (r[x] + pred) & 0xFF
+            cur = np.array(cur_l, dtype=np.uint8)
         else:
             raise ValueError(f"PNG: unknown filter type {ftype}")
-        cur = cur.astype(np.uint8)
         out[y] = cur
-        prev = out[y]
+        prev = cur
     return out
 
 
@@ -130,7 +136,7 @@ def decode_png(payload: bytes):
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("PNG: bad signature")
     pos, width = 8, None
-    idat = b""
+    idat_parts = []
     while pos < len(payload):
         (length,), ctype = _struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         data = payload[pos + 8: pos + 8 + length]
@@ -139,6 +145,8 @@ def decode_png(payload: bytes):
             width, height, depth, color, _comp, _filt, interlace = _struct.unpack(
                 ">IIBBBBB", data
             )
+            if width == 0 or height == 0:
+                raise ValueError("PNG: zero-dimension image")
             if depth != 8:
                 raise NotImplementedError(f"PNG: bit depth {depth} (only 8)")
             if color not in _PNG_CHANNELS:
@@ -146,16 +154,23 @@ def decode_png(payload: bytes):
             if interlace:
                 raise NotImplementedError("PNG: Adam7 interlace")
         elif ctype == b"IDAT":
-            idat += data
+            idat_parts.append(data)  # list + one join: real encoders
+            # emit many small IDATs; += would recopy quadratically
         elif ctype == b"IEND":
             break
-    if width is None or not idat:
+    if width is None or not idat_parts:
         raise ValueError("PNG: missing IHDR/IDAT")
     channels = _PNG_CHANNELS[color]
     stride = width * channels
-    raw = np.frombuffer(_zlib.decompress(idat), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
+    expected = height * (stride + 1)
+    # bounded inflate: cap the output at the size IHDR implies BEFORE
+    # allocating, so a decompression-bomb IDAT cannot OOM the worker
+    # (the module docstring's no-single-payload-OOM design)
+    d = _zlib.decompressobj()
+    inflated = d.decompress(b"".join(idat_parts), expected + 1)
+    if len(inflated) != expected or d.unconsumed_tail:
         raise ValueError("PNG: IDAT size mismatch")
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     mat = _png_unfilter(raw, height, stride, channels)
     return mat.reshape(height, width, channels)
 
@@ -288,7 +303,7 @@ def image_features(img) -> List[float]:
     feats = [
         round(min(w / 4096.0, 1.0), 6),
         round(min(h / 4096.0, 1.0), 6),
-        float(c),
+        c / 4.0,  # normalized like every other dim (max RGBA)
         round(float(gray.mean()) / 255.0, 6),
         round(float(gray.std()) / 255.0, 6),
     ] + [round(float(f), 6) for f in hist]
@@ -301,7 +316,7 @@ def audio_features(meta: Dict[str, Any]) -> List[float]:
     feats = [
         round(min(meta["duration_ms"] / 60000.0, 1.0), 6),
         round(min(meta["sample_rate"] / 48000.0, 1.0), 6),
-        float(meta["channels"]),
+        round(min(meta["channels"] / 8.0, 1.0), 6),
         round(meta["rms"], 6),
     ] + [round(v, 6) for v in meta["envelope"]]
     return feats[:N_FEATURES]

@@ -1785,9 +1785,10 @@ def q_embedding_minmax(spark, sf):
 
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary payload → Arrow-batched feature
-    stage. The metadata/digest columns are oracle-checked; the stubbed
-    decode's feature vector is covered by unit tests (no codec libs in
-    the sandbox)."""
+    stage. The metadata/digest columns are oracle-checked; the codec
+    layer itself (round 5: real stdlib PNG/BMP/WAV decode, fingerprint
+    fallback for formats needing native libs) is covered by
+    round-trip unit tests in tests/test_multimodal.py."""
     from credit_ocr_backend_spark.operators.multimodal import (
         media_features,
         synthesize_media,
@@ -1823,6 +1824,14 @@ def q_video_frame_samples(spark, sf):
 @_register(
     "multimodal_pipeline",
     """
+    -- decode_ok=false for EVERY row rests on the invariant that no
+    -- corpus text encodes to bytes a stdlib codec accepts (utf-8 text
+    -- can never start with the PNG signature; a text row that both
+    -- starts with 'BM'/'RIFF' AND parses as a valid raster/WAV is
+    -- astronomically unlikely but guarded by
+    -- tests/test_multimodal.py::test_corpus_payloads_never_decode so a
+    -- future corpus-generator change surfaces as a clear test failure,
+    -- not an oracle mystery)
     SELECT doc_id AS media_id,
            CASE WHEN doc_id % 3 = 0 THEN 'image'
                 WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END

@@ -237,3 +237,68 @@ def test_feature_stage_real_decode_and_fallback(spark):
         b"image" + bytes(rows[1][2])).digest()[:16]]
     # features land as float32 in the schema — compare with tolerance
     assert all(abs(a - b) < 1e-6 for a, b in zip(fb["features"], expect))
+
+
+def test_corpus_payloads_never_decode():
+    """Guard for the multimodal_pipeline oracle's decode_ok=false
+    literal: no testdata document text may decode under a stdlib
+    codec. If a corpus-generator change ever violates this, the
+    failure shows up HERE with a clear message instead of as an
+    oracle hash mismatch."""
+    import duckdb
+
+    from credit_ocr_backend_spark.operators.multimodal import decode_features
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchall()
+    assert rows
+    for doc_id, text in rows:
+        payload = text.encode("utf-8")
+        try:
+            decode_features(payload, "image")
+        except Exception:
+            continue
+        raise AssertionError(
+            f"doc_id={doc_id}: corpus text decoded under a stdlib codec — "
+            "update the multimodal_pipeline oracle's decode_ok expectation"
+        )
+
+
+def test_png_rejects_zero_dims_and_bounded_inflate():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from credit_ocr_backend_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    # zero-dimension IHDR with empty IDAT must raise, not NaN-poison
+    zero = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(zero)
+
+    # decompression bomb: 2x2 IHDR, IDAT inflating to 64 MB — must be
+    # rejected by the BOUNDED inflate (never allocating the 64 MB)
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+
+    # sanity: a real image still round-trips after the hardening
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert (decode_png(encode_png(img)) == img).all()
