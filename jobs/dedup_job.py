@@ -75,13 +75,11 @@ def run_dedup(
 
     ckpt = CheckpointManager(spark, out_root)
     # cc_algorithm=None means "no explicit choice": a fresh run takes
-    # the current default ('star', measured faster on the sparse
-    # random pair graphs verified dedup pairs form); a RESUME follows
-    # whatever the committed manifest pinned — otherwise flipping the
-    # project default would strand every in-flight run started under
-    # the old one (round-5 review finding: the migration shim wrote
-    # 'label' into old manifests and the new default then failed the
-    # manifest comparison anyway).
+    # the project default (see below); a RESUME follows whatever the
+    # committed manifest pinned — otherwise a project-default change
+    # would strand every in-flight run started under the old one
+    # (round-5 review finding: a migration shim alone can't prevent
+    # that; the default must follow the manifest).
     if cc_algorithm is None:
         committed = ckpt.read_manifest() if resume else None
         if committed is not None:
@@ -90,7 +88,15 @@ def run_dedup(
             # writes into the manifest
             cc_algorithm = committed.get("cc_algorithm", "label")
         else:
-            cc_algorithm = "star"
+            # 'label' won the round-5 three-corpus A/B (BENCH/PLANS.md):
+            # dedup pair graphs arriving through lsh_candidate_pairs are
+            # star-guarded into small-diameter components, where
+            # label-prop's cheap rounds beat Kiveris star 2× at job
+            # level (9.9 vs 20.0 s on a 50k-doc clone corpus); star's
+            # round-count advantage only pays on giant UN-guarded
+            # sprawling components (15.1 vs 18.5 s on a random graph
+            # with a giant component) — pass --cc star for those.
+            cc_algorithm = "label"
     # Curation params are deliberately NOT part of the stage-identity
     # manifest: they only define the cheap curated tail, and pinning
     # them would force recomputing every expensive global-join stage
@@ -241,15 +247,16 @@ def main() -> int:
                         help="curation: deterministic content-keyed sample rate")
     parser.add_argument("--cc", choices=["label", "star"], default=None,
                         help="connected-components algorithm. Default: follow the "
-                             "committed manifest on --resume, else 'star' "
-                             "(Kiveris large/small-star): measured faster on the "
-                             "sparse random-ish pair graphs verified dedup pairs "
-                             "actually form (6 vs 17 rounds, 15.1 vs 18.5 s on a "
-                             "10^5-node/1.2x10^5-edge graph — identical labelings). "
-                             "Prefer --cc label for graphs dominated by long CHAINS "
-                             "(gradual-drift near-dup sequences): round counts tie "
-                             "there (18 vs 17 on a 10^5-node path) and label-prop's "
-                             "per-round cost is lower (19.3 vs 25.8 s measured).")
+                             "committed manifest on --resume, else 'label' "
+                             "(min-label propagation with pointer jumping) — the "
+                             "round-5 job-level A/B winner on the clone-cluster "
+                             "shape star-guarded dedup pairs actually have (9.9 vs "
+                             "20.0 s on a 50k-doc corpus, identical keep-lists). "
+                             "Use --cc star (Kiveris large/small-star) when the "
+                             "pair source is NOT star-guarded and giant sprawling "
+                             "components are expected: its bounded round count "
+                             "wins there (6 vs 17 rounds, 15.1 vs 18.5 s on a "
+                             "random graph with a giant component).")
     parser.add_argument("--reliable-checkpoints", action="store_true",
                         help="use fault-tolerant checkpoint() for CC lineage "
                              "truncation (long-running cluster jobs); defaults the "
