@@ -89,3 +89,71 @@ def content_sha256(col: Column | str) -> Column:
 # caller when simhash() inlined the per-word conv expression and was
 # removed — the cross-engine md5-prefix hash pattern lives inline in
 # operators/dedup.py and operators/sampling.py.)
+
+
+# Tracking parameters stripped by canonical_url — the standard crawl
+# noise set (UTM campaign tags + ad-click ids + social share ids).
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|igshid|ref|ref_src)="
+)
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of a crawl URL — the first line of URL-level
+    dedup in a web pipeline (two re-crawls of the same resource under
+    cosmetically different URLs must collide BEFORE any content
+    hashing). Pure built-ins (parse_url + array functions — zero
+    Python on the hot path), applying the standard rules:
+
+    * scheme and host lowercase; userinfo stripped;
+    * default port dropped (``:80`` for http, ``:443`` for https),
+      non-default ports kept;
+    * empty path → ``/``; trailing slashes trimmed (except root);
+    * fragment dropped;
+    * tracking query parameters removed (``utm_*``, ``gclid``,
+      ``fbclid``, ``msclkid``, ``mc_cid``/``mc_eid``, ``igshid``,
+      ``ref``/``ref_src``), the survivors SORTED so parameter order
+      cannot split a duplicate group, empty query dropped;
+    * NULL (un-canonicalizable) for NULL input or anything without a
+      parseable scheme + host.
+
+    Differentially tested against an independent urllib.parse
+    reference implementation (tests/test_operators.py)."""
+    u = F.col(col) if isinstance(col, str) else col
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+
+    default_port = F.coalesce(
+        *[
+            F.when(proto == scheme, F.lit(p))
+            for scheme, p in _DEFAULT_PORTS.items()
+        ],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+
+    raw_path = F.parse_url(u, F.lit("PATH"))
+    trimmed = F.regexp_replace(F.coalesce(raw_path, F.lit("")), "/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+
+    q = F.parse_url(u, F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(q, F.lit("")), "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+
+    return F.when(
+        proto.isNotNull() & host.isNotNull() & (host != ""),
+        F.concat(proto, F.lit("://"), host, port_part, path, q_part),
+    )

@@ -818,3 +818,83 @@ def test_value_grouped_guard_adds_no_exchange(spark):
     keys2 = exchange_keys(plan2)
     assert any(k.startswith("band_id") for k in keys2), keys2
     assert not any("simhash#" in k for k in keys2), keys2
+
+
+def test_canonical_url_differential(spark):
+    """canonical_url (pure built-ins) vs an INDEPENDENT urllib.parse
+    reference implementing the same published canonicalization rules —
+    explicit edge cases plus a generated messy-URL sweep."""
+    import re
+    from urllib.parse import urlsplit
+
+    from credit_ocr_backend_spark.functions.scalar import (
+        TRACKING_PARAM_RE,
+        canonical_url,
+    )
+
+    track = re.compile(TRACKING_PARAM_RE)
+
+    def ref(url):
+        if url is None:
+            return None
+        try:
+            p = urlsplit(url)
+        except ValueError:
+            return None
+        if not p.scheme or not p.hostname:
+            return None
+        scheme = p.scheme.lower()
+        host = p.hostname.lower()
+        try:
+            port = p.port
+        except ValueError:
+            port = None
+        default = {"http": 80, "https": 443}.get(scheme)
+        port_part = f":{port}" if port is not None and port != default else ""
+        path = re.sub("/+$", "", p.path) or "/"
+        kept = sorted(
+            q for q in p.query.split("&")
+            if q != "" and not track.match(q.lower())
+        )
+        q_part = "?" + "&".join(kept) if kept else ""
+        return f"{scheme}://{host}{port_part}{path}{q_part}"
+
+    cases = [
+        "HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag",
+        "https://example.com:443/",
+        "https://example.com:8443/x?gclid=1&z=9",
+        "http://example.com/path///",
+        "http://example.com",
+        "http://user:pw@Example.com:80/x?Y=1",
+        "https://example.com/a?utm_campaign=spring&utm_medium=email",
+        "https://example.com/a?b=2&a=1&b=1",
+        "https://example.com/?ref=home",
+        "https://example.com/a?",
+        None,
+    ]
+    # generated messy sweep
+    for i in range(60):
+        scheme = ["http", "HTTP", "https", "HTTPS"][i % 4]
+        host = ["Site.Org", "x.example.com", "EX.com"][i % 3]
+        port = ["", ":80", ":443", ":8080"][i % 4]
+        path = ["", "/", "/a/b", "/a/b/", "/A//"][i % 5]
+        q = ["", "?a=1", "?utm_source=t&k=v", "?z=1&y=2&utm_x=9", "?fbclid=abc"][i % 5]
+        frag = ["", "#sec"][i % 2]
+        cases.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = [
+        r["c"] for r in df.select(canonical_url("url").alias("c")).collect()
+    ]
+    for url, g in zip(cases, got):
+        assert g == ref(url), f"{url!r}: spark={g!r} ref={ref(url)!r}"
+
+    # the point of the exercise: cosmetic variants collide
+    variants = [
+        "HTTP://Example.com/news?utm_source=mail&id=7",
+        "http://example.com:80/news/?id=7#top",
+        "http://example.com/news?id=7&fbclid=xyz",
+    ]
+    vdf = spark.createDataFrame([(v,) for v in variants], "url string")
+    canon = {r["c"] for r in vdf.select(canonical_url("url").alias("c")).collect()}
+    assert canon == {"http://example.com/news?id=7"}
