@@ -98,3 +98,112 @@ def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequent line removal (CCNet/RefinedWeb-style boilerplate strip)
+# ---------------------------------------------------------------------------
+
+
+def line_hash(line: Column) -> Column:
+    """Normalization + hash under which two lines count as 'the same
+    boilerplate': lowercase, whitespace-collapsed, md5. Shared by the
+    counting and the filtering pass so they can never disagree."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(line)), r"\s+", " "))
+
+
+def frequent_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Lines (newline-split) that appear in ≥ ``min_docs`` DISTINCT
+    documents — navigation chrome, cookie banners, footers: the
+    line-level boilerplate a Common-Crawl pipeline strips before
+    training (CCNet's paragraph-dedup idea at line granularity).
+
+    ``scope_col`` (e.g. a host column) counts within that scope —
+    at 10^12 docs per-host scoping keeps the groupBy key space
+    partitionable and matches how boilerplate actually repeats.
+
+    Returns (scope?, lhash, n_docs). Plan shape: one explode + one
+    distinct + one partial-aggregated groupBy on (scope, lhash) —
+    no joins, corpus scanned once."""
+    scope = [F.col(scope_col)] if scope_col else []
+    exploded = docs.select(
+        *scope,
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_line"),
+    ).where(F.trim(F.col("_line")) != "")
+    return (
+        exploded.select(*scope, "_doc", line_hash(F.col("_line")).alias("lhash"))
+        .distinct()  # count DOCUMENTS, not occurrences within one doc
+        .groupBy(*scope, "lhash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document and reassemble
+    the text in original line order. Returns
+    (id, cleaned_text, n_lines_kept, n_lines_dropped).
+
+    Plan shape at scale: posexplode (line order key) → left-anti-ish
+    membership via a join against the (small relative to the corpus)
+    frequent-line set on (scope?, lhash) → per-doc ordered
+    re-assembly with array_sort(collect_list(struct(pos, line))) —
+    one explode, one equi-join that AQE can broadcast when the
+    frequent set is small, one groupBy(doc). A dropped-to-empty
+    document yields cleaned_text = '' (kept, so downstream quality
+    filters see it rather than the row silently vanishing)."""
+    freq = frequent_lines(docs, id_col, text_col, min_docs, scope_col)
+    scope = [F.col(scope_col)] if scope_col else []
+    lines = docs.select(
+        *scope,
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("lhash", line_hash(F.col("_line")))
+    join_keys = ([scope_col] if scope_col else []) + ["lhash"]
+    marked = lines.join(
+        freq.withColumn("_freq", F.lit(True)).select(*join_keys, "_freq"),
+        on=join_keys,
+        how="left",
+    )
+    kept = F.sum(F.when(F.col("_freq").isNull(), 1).otherwise(0))
+    dropped = F.sum(F.when(F.col("_freq").isNotNull(), 1).otherwise(0))
+    return (
+        marked.groupBy("_doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_freq").isNull(),
+                                F.struct(F.col("_pos"), F.col("_line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+            kept.cast("int").alias("n_lines_kept"),
+            dropped.cast("int").alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "cleaned_text",
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+    )

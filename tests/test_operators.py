@@ -898,3 +898,106 @@ def test_canonical_url_differential(spark):
     vdf = spark.createDataFrame([(v,) for v in variants], "url string")
     canon = {r["c"] for r in vdf.select(canonical_url("url").alias("c")).collect()}
     assert canon == {"http://example.com/news?id=7"}
+
+
+def test_boilerplate_line_removal_vs_duckdb(spark):
+    """frequent_lines / remove_boilerplate_lines vs an independent
+    DuckDB mirror of the same rules (normalize → md5 → distinct-doc
+    count ≥ k → ordered reassembly), plus the semantic checks: chrome
+    lines vanish, unique content survives in order, a fully-chrome doc
+    stays as an empty row."""
+    import duckdb
+
+    from credit_ocr_backend_spark.operators.textstats import (
+        frequent_lines,
+        remove_boilerplate_lines,
+    )
+
+    chrome = "Home | About | Contact"
+    cookie = "  we use   COOKIES  "  # normalizes equal across docs
+    rows = [
+        (0, f"{chrome}\nunique zero body\n{cookie}\nmore zero"),
+        (1, f"{chrome}\nWe use cookies\nunique one body"),
+        (2, f"{chrome}\nunique two body\nWE USE COOKIES"),
+        (3, f"{chrome}\nWe use cookies"),          # fully chrome
+        (4, "standalone document\nwith its own lines"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    freq = {
+        r["lhash"]: r["n_docs"]
+        for r in frequent_lines(docs, min_docs=3).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    dfreq = {
+        h: n
+        for h, n in con.execute("""
+            SELECT md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) AS lhash,
+                   count(DISTINCT doc_id) AS n
+            FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                  FROM docs WHERE text IS NOT NULL)
+            WHERE trim(line) != ''
+            GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+        """).fetchall()
+    }
+    assert freq == dfreq and len(freq) == 2  # chrome + cookie lines
+
+    dclean = {
+        d: t
+        for d, t in con.execute("""
+            WITH lines AS (
+              SELECT doc_id, line,
+                     row_number() OVER (PARTITION BY doc_id) - 1 AS pos,
+                     md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) AS lhash
+              FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                    FROM docs WHERE text IS NOT NULL)
+            ), freq AS (
+              SELECT lhash FROM lines WHERE trim(line) != ''
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN lhash NOT IN (SELECT lhash FROM freq)
+                                            THEN line END, chr(10) ORDER BY pos), '')
+            FROM lines GROUP BY doc_id
+        """).fetchall()
+    }
+    for doc_id, expect in dclean.items():
+        assert out[doc_id]["cleaned_text"] == expect, doc_id
+
+    assert out[0]["cleaned_text"] == "unique zero body\nmore zero"
+    assert out[0]["n_lines_dropped"] == 2
+    assert out[3]["cleaned_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["cleaned_text"] == "standalone document\nwith its own lines"
+    assert 5 not in out  # NULL text explodes to nothing — absent like batch simhash
+
+
+def test_boilerplate_scoped_by_host(spark):
+    """scope_col: a line frequent on host A but rare globally is
+    stripped ONLY from host A's documents."""
+    from credit_ocr_backend_spark.operators.textstats import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "A-site navigation banner"
+    rows = [
+        (0, "a.com", f"{banner}\nalpha"),
+        (1, "a.com", f"{banner}\nbeta"),
+        (2, "a.com", f"{banner}\ngamma"),
+        (3, "b.com", f"{banner}\ndelta"),  # same line, different host
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_boilerplate_lines(
+            docs, min_docs=3, scope_col="host"
+        ).collect()
+    }
+    assert out[0] == "alpha" and out[1] == "beta" and out[2] == "gamma"
+    assert out[3] == f"{banner}\ndelta"  # b.com never crossed the floor
