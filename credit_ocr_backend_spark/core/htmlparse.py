@@ -72,7 +72,21 @@ WRAP_CHARS = 80  # greedy word-wrap width for prose blocks
 MAX_LINK_DENSITY = 0.5
 
 
+_COLLAPSE_CACHE: Dict[str, str] = {}
+
+
 def _collapse_ws(text: str) -> str:
+    # Short cell texts (form labels/values, chrome link text) repeat
+    # across millions of documents — memoize those; long texts (prose
+    # paragraphs) are corpus-unique, so caching them would only burn
+    # memory. Value identical to the uncached expression by definition.
+    if len(text) <= 96:
+        v = _COLLAPSE_CACHE.get(text)
+        if v is None:
+            v = _WS_RE.sub(" ", text).strip()
+            if len(_COLLAPSE_CACHE) < 32768:
+                _COLLAPSE_CACHE[text] = v
+        return v
     return _WS_RE.sub(" ", text).strip()
 
 
@@ -176,7 +190,7 @@ class _PageTokenizer(HTMLParser):
             if self._capture_layout:
                 self.layout_words_json.append(data)
             return
-        if not data.strip():
+        if not data or data.isspace():  # ≡ `not data.strip()`, no alloc
             return
         if self._current is None:
             self._open_block(is_row=False)
@@ -228,6 +242,31 @@ _CDATA_CLOSE = {
     t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _CDATA_CONTENT
 }
 
+# Start-tag action cache: raw '<...>' slice (from '<' through the FIRST
+# '>') → ("start" | "startend", tag, attrs). Crawl corpora repeat a
+# small set of tag spellings millions of times (chrome links, <td>,
+# <p>, ...); replaying the parsed action from a dict lookup skips the
+# tagname/body/attr regex machinery per occurrence. SOUNDNESS: an entry
+# is stored ONLY when the from-scratch parse consumed exactly the slice
+# (end position == the slice's final '>'), which happens iff the
+# attribute region's quotes are balanced within the slice — and in that
+# case the greedy body regex consumes the identical region wherever the
+# same byte sequence appears, so the cached action is a pure function
+# of the slice bytes, independent of surrounding document context.
+# Slices whose tag body spans past the first '>' (a quoted '>') are
+# never cached and always take the full parse path. Bounded; attrs
+# tuples are shared read-only (the handler never mutates attrs).
+_TAG_ACTION_CACHE: Dict[str, Tuple[str, str, list]] = {}
+_ENDTAG_CACHE: Dict[str, str] = {}
+_TAG_ACTION_CACHE_MAX = 8192
+
+# Word-token cache for the synthetic layout engine (see emit_line):
+# (word, page, x, y, confidence) → (token dict, centroid tuple, x1).
+# Insert-until-full (no eviction — the high-frequency form/label words
+# appear in the first documents a worker sees); ~23 MB at the cap.
+_WORD_TOKEN_CACHE: Dict[tuple, tuple] = {}
+_WORD_TOKEN_CACHE_MAX = 65536
+
 
 def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     """Emit the html.parser(convert_charrefs=True) event stream for ``s``
@@ -252,9 +291,21 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
         i = j
         nxt = s[i + 1] if i + 1 < n else ""
         if nxt == "/":
+            # '</tag>' slices repeat as much as start tags; the strict
+            # end-tag grammar contains no '>', so the slice through the
+            # first '>' is the whole match — context-free, cacheable.
+            gt2 = find(">", i + 2)
+            cached_end = _ENDTAG_CACHE.get(s[i : gt2 + 1]) if gt2 > 0 else None
+            if cached_end is not None:
+                handle_endtag(cached_end)
+                i = gt2 + 1
+                continue
             m = _ENDTAG_STRICT_RE.match(s, i)
             if m:
-                handle_endtag(m.group(1).lower())
+                tag_l = m.group(1).lower()
+                handle_endtag(tag_l)
+                if m.end() == gt2 + 1 and len(_ENDTAG_CACHE) < _TAG_ACTION_CACHE_MAX:
+                    _ENDTAG_CACHE[s[i : gt2 + 1]] = tag_l
                 i = m.end()
                 continue
             m = _TAGNAME_RE.match(s, i + 2)
@@ -287,6 +338,33 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                 return False
             i = gt + 1  # handle_pi is a no-op
             continue
+        # Cached replay: the slice from '<' through the first '>' is a
+        # context-free key for any tag whose parse consumed exactly it
+        # (see _TAG_ACTION_CACHE) — one find + one dict get replaces the
+        # tagname/body/attr regex machinery for the overwhelmingly
+        # common repeated tag spellings.
+        gt = find(">", i + 1)
+        act = _TAG_ACTION_CACHE.get(s[i : gt + 1]) if gt > 0 else None
+        if act is not None:
+            kind, tag, attrs = act
+            if kind == "startend":
+                handler.handle_startendtag(tag, attrs)
+                i = gt + 1
+                continue
+            handle_starttag(tag, attrs)
+            i = gt + 1
+            if tag in _CDATA_CONTENT:
+                m2 = _CDATA_END[tag].search(s, i)
+                if not m2:
+                    return False  # unterminated cdata
+                if i < m2.start():
+                    handle_data(s[i : m2.start()])  # raw, no unescape
+                m3 = _CDATA_CLOSE[tag].match(s, m2.start())
+                if not m3:
+                    return False
+                handle_endtag(tag)
+                i = m3.end()
+            continue
         m = _TAGNAME_RE.match(s, i + 1)
         if not m:
             handle_data("<")  # bare '<' is literal text
@@ -301,6 +379,8 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
         region = s[m.end() : end]
         if not region:
             handle_starttag(tag, [])
+            if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
+                _TAG_ACTION_CACHE[s[i : end + 1]] = ("start", tag, [])
             i = end + 1
             if tag in _CDATA_CONTENT:
                 m2 = _CDATA_END[tag].search(s, i)
@@ -331,11 +411,15 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             attrs.append((name.lower(), value))
         rest = region[pos:].strip()
         if rest == "/":
+            if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
+                _TAG_ACTION_CACHE[s[i : end + 1]] = ("startend", tag, attrs)
             handler.handle_startendtag(tag, attrs)
             i = end + 1
             continue
         if rest != "":
             return False
+        if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
+            _TAG_ACTION_CACHE[s[i : end + 1]] = ("start", tag, attrs)
         handle_starttag(tag, attrs)
         i = end + 1
         if tag in _CDATA_CONTENT:
@@ -474,6 +558,8 @@ def _layout_html_blocks(
     page, row = 1, 0
     line_idx = 0
 
+    word_cache = _WORD_TOKEN_CACHE
+
     def emit_line(text: str, cell: int) -> None:
         nonlocal line_idx
         y = TOP_MARGIN + row * ROW_STEP + cell * CELL_Y_STEP
@@ -492,7 +578,8 @@ def _layout_html_blocks(
         # centroids with the exact float association _assemble_tokens'
         # dict fast path uses — (((p0+p1)+p2)+p3)/4, left-assoc — so the
         # precomputed values are bit-identical to the recomputed ones;
-        # cy is constant across the line's words
+        # cy is constant across the line's words and equals y exactly
+        # ((y+y+y+y)/4 is exact in binary float arithmetic)
         cy = (y + y + y + y) / 4
         words_append = words.append
         centroids_append = centroids.append
@@ -502,21 +589,36 @@ def _layout_html_blocks(
         pg = page
         x = x0
         for wi, word in enumerate(text.split(" ")):
-            wx1 = x + char_w * len(word)
-            wl = {"x": x, "y": y}
-            wr = {"x": wx1, "y": y}
             conf = conf_of(word, li, wi)
-            words_append(
-                {
-                    "type": "word",
-                    "text": word,
-                    "page": pg,
-                    "bounding_box": [wl, wr, wr, wl],
-                    "confidence": conf,
-                }
-            )
-            centroids_append((cy, (x + wx1 + wx1 + x) / 4, conf))
-            x = wx1 + char_w
+            # Word-token cache: (text, page, x, y, conf) fully determines
+            # the token dict AND its centroid tuple (box corners are pure
+            # functions of x/y/len(word), centroid-y == y). Form words
+            # repeat at identical positions across millions of documents
+            # (~68% steady-state hit rate, measured); tokens are
+            # read-only downstream, so sharing the dicts is safe — same
+            # contract as the shared corner dicts above.
+            key = (word, pg, x, y, conf)
+            ent = word_cache.get(key)
+            if ent is None:
+                wx1 = x + char_w * len(word)
+                wl = {"x": x, "y": y}
+                wr = {"x": wx1, "y": y}
+                ent = (
+                    {
+                        "type": "word",
+                        "text": word,
+                        "page": pg,
+                        "bounding_box": [wl, wr, wr, wl],
+                        "confidence": conf,
+                    },
+                    (cy, (x + wx1 + wx1 + x) / 4, conf),
+                    wx1,
+                )
+                if len(word_cache) < _WORD_TOKEN_CACHE_MAX:
+                    word_cache[key] = ent
+            words_append(ent[0])
+            centroids_append(ent[1])
+            x = ent[2] + char_w
         line_idx = li + 1
 
     def next_row(n_rows: int = 1) -> None:
