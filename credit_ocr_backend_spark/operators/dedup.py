@@ -24,6 +24,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from credit_ocr_backend_spark.operators.spread import spread_scan
+
 N_MINHASHES = 8
 LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
 SIMHASH_BITS = 16
@@ -86,8 +88,19 @@ def minhash_signatures(
 
     One explode + one groupBy with n_hashes min-aggregations; the seed
     is mixed in as a string prefix so each hash family member is an
-    independent permutation proxy."""
-    tokens = df.select(
+    independent permutation proxy.
+
+    Plan shape (r6): the input is spread across the cluster's slots
+    when its file layout under-parallelizes the scan (guide §2.5 —
+    single-row-group parquet ran the whole explode + hash-family +
+    min(string) SortAggregate pipeline on one core). The id-hash
+    repartition also satisfies the groupBy's distribution, so the
+    aggregation needs NO exchange of its own — the plan is
+    scan → spread → explode → sort+agg, one shuffle total (a
+    pre-explode sortWithinPartitions would NOT remove the post-explode
+    sort: GenerateExec does not propagate child ordering, verified on
+    the 4.1 plan)."""
+    tokens = spread_scan(df, id_col).select(
         F.col(id_col).alias("doc"), words_col(text_col).alias("_toks")
     )
     exploded = tokens.select(
@@ -564,7 +577,7 @@ def ngram_jaccard(
     """Exact n-gram Jaccard for candidate pairs (verification step after
     LSH): |A∩B| via an equi-join of distinct shingles, |A∪B| by
     inclusion-exclusion. Returns (doc_a, doc_b, jaccard)."""
-    sh = df.select(
+    sh = spread_scan(df, id_col).select(
         F.col(id_col).alias("doc"), words_col(text_col).alias("_toks")
     ).select(
         "doc",
@@ -626,7 +639,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
     n_words = (bits + 15) // 16
-    toks = df.select(
+    # spread_scan: see minhash_signatures — the token explode + vote
+    # sums otherwise run on the scan's (possibly single) task; the
+    # id-hash repartition also pre-clusters the groupBy so the vote
+    # aggregation needs no further exchange.
+    toks = spread_scan(df, id_col).select(
         F.col(id_col).alias("doc"), F.explode(words_col(text_col)).alias("tok")
     )
     # words inline over md5("tok"): for n_words == 1 this is byte-for-byte

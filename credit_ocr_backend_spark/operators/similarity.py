@@ -26,6 +26,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from credit_ocr_backend_spark.operators.spread import spread_scan
+
 N_PLANES = 8
 
 
@@ -85,8 +87,11 @@ def brute_force_topk(
     — never a shuffle of the big side). Ties break on id for
     determinism. Returns (vec_id, cos_sim, rank)."""
     q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+    # spread_scan: the per-row quantize + integer dot/norm arithmetic is
+    # the whole cost of this query and sits BELOW any exchange — a
+    # single-row-group source would run it on one core (guide §2.5).
     scored = (
-        df.crossJoin(q)
+        spread_scan(df, id_col).crossJoin(q)
         .select(
             F.col(id_col),
             cosine_q(quantize(vec_col), quantize("_qvec")).alias("cos_sim"),
@@ -175,7 +180,7 @@ def batch_topk(
             F.col(qid_col).alias("_qid"), quantize(vec_col).alias("_qv")
         )
     )
-    base = df.select(F.col(id_col), quantize(vec_col).alias("_v"))
+    base = spread_scan(df, id_col).select(F.col(id_col), quantize(vec_col).alias("_v"))
     scored = base.crossJoin(q).select(
         F.col("_qid").alias(qid_col),
         F.col(id_col),
@@ -237,7 +242,7 @@ def batch_topk_lsh(
             "_qid", "_qv", F.explode(probe_buckets).alias("_qb")
         )
     )
-    base = df.select(
+    base = spread_scan(df, id_col).select(
         F.col(id_col),
         quantize(vec_col).alias("_v"),
         lsh_bucket(vec_col, n_planes).alias("_b"),
@@ -539,7 +544,7 @@ def ivf_assign(
     only its probed cells. Returns (id, centroid_id, _v quantized)."""
     from pyspark.sql.window import Window
 
-    base = df.select(F.col(id_col), quantize(vec_col).alias("_v"))
+    base = spread_scan(df, id_col).select(F.col(id_col), quantize(vec_col).alias("_v"))
     scored = base.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col("centroid_id"),
@@ -609,7 +614,7 @@ def embedding_near_dupes(
     to avoid the full O(n²) cross join (at scale the block key would be
     an LSH bucket; here the labeled dataset provides a natural block).
     Returns (id_a, id_b, cos_sim) with id_a < id_b, cos ≥ threshold."""
-    q = df.select(
+    q = spread_scan(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         quantize(vec_col).alias("_q"),
