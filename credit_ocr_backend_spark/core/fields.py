@@ -59,12 +59,16 @@ def extract_json_from_response(response: str) -> Dict[str, Any]:
         raise ValueError(f"Invalid JSON in response: {e}")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def normalize_label(label: str) -> str:
     """The reference's quirky label normalizer — lowercase, drop ``?``
     and **every letter "n"**, strip (tests/test_mock_ocr_results.py:12-14,
     src/visualization/pdf_visualizer.py:139-144). The n-deletion causes
     alias collisions; parity means reproducing them, not fixing them.
-    """
+    Memoized — form labels repeat across millions of documents."""
     return label.lower().replace("?", "").replace("n", "").strip()
 
 
@@ -172,12 +176,37 @@ def validate_field(value: Any, rules: Dict[str, Any]) -> Dict[str, Any]:
 def validate_extracted_fields(
     fields: Dict[str, Any], doc_config: DocumentTypeConfig
 ) -> Dict[str, Any]:
-    """Validate every field that has a rule (field_extractor.py:299-305)."""
-    return {
-        name: validate_field(data, doc_config.validation_rules[name])
-        for name, data in fields.items()
-        if name in doc_config.validation_rules
-    }
+    """Validate every field that has a rule (field_extractor.py:299-305).
+
+    Results are memoized per (field, value-type, value): validation is a
+    pure function of the rule set and ``data["value"]`` alone, and the
+    same handful of form values recurs across millions of documents.
+    The type sits in the key because Python hashes 1 == 1.0 == True to
+    the same bucket while validate_field treats them differently; the
+    cached result dicts are shared read-only (consumers only serialize
+    them)."""
+    cache = _config_tables(doc_config)["validation_cache"]
+    rules_map = doc_config.validation_rules
+    out: Dict[str, Any] = {}
+    for name, data in fields.items():
+        if name not in rules_map:
+            continue
+        rules = rules_map[name]
+        if isinstance(data, dict) and "value" in data:
+            v = data["value"]
+            try:
+                key = (name, v.__class__, v)
+                r = cache.get(key)
+                if r is None:
+                    r = validate_field(data, rules)
+                    if len(cache) < 8192:
+                        cache[key] = r
+                out[name] = r
+                continue
+            except TypeError:  # unhashable value — validate uncached
+                pass
+        out[name] = validate_field(data, rules)
+    return out
 
 
 # Per-config derived tables, memoized by config identity: normalized
@@ -219,6 +248,7 @@ def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
             for eng, aliases in cached["aliases_by_field"].items()
             if aliases
         }
+        cached["validation_cache"] = {}
         _CONFIG_CACHE.clear()
         _CONFIG_CACHE["entry"] = cached
     return cached

@@ -456,19 +456,17 @@ def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
 def _assemble_tokens(
     lines: List[Tuple[str, int, List[Dict[str, float]]]],
     words: List[Token],
-    precomputed_centroids: Optional[
-        Dict[int, List[Tuple[float, float, Optional[float]]]]
-    ] = None,
 ) -> List[Token]:
     """Emit per page: all lines (with containment-averaged confidence),
     then all words — the reference's per-page emission order and
     confidence rule (postprocess.py:25-69): a line's confidence is
     round(mean confidence of same-page words whose centroid falls inside
-    the line envelope, 2), None when no word matches."""
+    the line envelope, 2), None when no word matches. (Used by the
+    layout-words/PDF path; the synthetic HTML layout engine assembles
+    its tokens directly — see _layout_html_blocks.)"""
     lines_by_page: Dict[int, list] = {}
     for entry in lines:
-        # entries are (text, page, box) or (text, page, box, envelope):
-        # the synthetic layout path precomputes the exact envelope
+        # entries are (text, page, box) or (text, page, box, envelope)
         lines_by_page.setdefault(entry[1], []).append(
             (entry[0], entry[2], entry[3] if len(entry) > 3 else None)
         )
@@ -480,27 +478,20 @@ def _assemble_tokens(
     # instead of scanning every word on the page (same comparisons, same
     # results — pure index acceleration).
     words_by_page: Dict[int, List[Token]] = {}
-    if precomputed_centroids is not None:
-        # the synthetic layout path computes centroids at emit time with
-        # the identical float expression — skip the dict re-derivation
-        centroids_by_page = precomputed_centroids
-        for w in words:
-            words_by_page.setdefault(w["page"], []).append(w)
-    else:
-        centroids_by_page = {}
-        for w in words:
-            words_by_page.setdefault(w["page"], []).append(w)
-            wb = w["bounding_box"]
-            if wb:
-                if len(wb) == 4:  # fast path, bit-identical to sum()/len()
-                    cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
-                    cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
-                else:
-                    cy = sum(p["y"] for p in wb) / len(wb)
-                    cx = sum(p["x"] for p in wb) / len(wb)
-                centroids_by_page.setdefault(w["page"], []).append(
-                    (cy, cx, w["confidence"])
-                )
+    centroids_by_page: Dict[int, list] = {}
+    for w in words:
+        words_by_page.setdefault(w["page"], []).append(w)
+        wb = w["bounding_box"]
+        if wb:
+            if len(wb) == 4:  # fast path, bit-identical to sum()/len()
+                cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
+                cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
+            else:
+                cy = sum(p["y"] for p in wb) / len(wb)
+                cx = sum(p["x"] for p in wb) / len(wb)
+            centroids_by_page.setdefault(w["page"], []).append(
+                (cy, cx, w["confidence"])
+            )
     for page_centroids in centroids_by_page.values():
         page_centroids.sort(key=lambda t: t[0])
 
@@ -540,21 +531,22 @@ def _assemble_tokens(
     return tokens
 
 
-def _layout_html_blocks(
-    blocks: List[_Block],
-) -> Tuple[
-    List[Tuple[str, int, List[Dict[str, float]]]],
-    List[Token],
-    Dict[int, List[Tuple[float, float, Optional[float]]]],
-]:
-    """Deterministic reading-order layout engine: content blocks →
-    positioned lines + word tokens with synthetic geometry, plus the
-    per-page word centroids (computed at emit time with the exact float
-    expression the assembly fast path would use — saves a full
-    re-derivation pass from the box dicts)."""
-    lines: List[Tuple[str, int, List[Dict[str, float]]]] = []
-    words: List[Token] = []
-    centroids_by_page: Dict[int, List[Tuple[float, float, Optional[float]]]] = {}
+def _layout_html_blocks(blocks: List[_Block]) -> List[Token]:
+    """Deterministic reading-order layout engine: content blocks → the
+    ASSEMBLED token stream (per page: all lines, then all words — the
+    same emission order `_assemble_tokens` produces).
+
+    The generic assembly pass (centroid sort + bisect containment) is
+    bypassed because for this synthetic geometry the containment test
+    is provably the identity: a line's envelope is the degenerate band
+    [y, y] × [x0, x1]; distinct (row, cell) always yield distinct y, so
+    the only words whose centroid-y == y are the line's OWN words (all
+    of which fall inside [x0, x1] — the last word ends exactly at x1),
+    in emission order — exactly the list `sum(confs)/len(confs)` was
+    computed over. The running float sum below matches `sum()`'s
+    left-associated order, so line confidences are bit-identical."""
+    lines_by_page: Dict[int, List[Token]] = {}
+    words_by_page: Dict[int, List[Token]] = {}
     page, row = 1, 0
     line_idx = 0
 
@@ -570,33 +562,26 @@ def _layout_html_blocks(
         # byte-identical)
         pl = {"x": x0, "y": y}
         pr = {"x": x1, "y": y}
-        # envelope piggybacked for the assembly pass: min/max over the
-        # degenerate box are exactly (x0, x1, y, y) — x1 >= x0 always,
-        # all corners share y — so no re-derivation is needed there
-        lines.append((text, page, [pl, pr, pr, pl], (x0, x1, y, y)))
-        centroids = centroids_by_page.setdefault(page, [])
-        # centroids with the exact float association _assemble_tokens'
-        # dict fast path uses — (((p0+p1)+p2)+p3)/4, left-assoc — so the
-        # precomputed values are bit-identical to the recomputed ones;
-        # cy is constant across the line's words and equals y exactly
-        # ((y+y+y+y)/4 is exact in binary float arithmetic)
-        cy = (y + y + y + y) / 4
-        words_append = words.append
-        centroids_append = centroids.append
-        conf_of = _word_confidence
-        char_w = CHAR_W
         li = line_idx
         pg = page
+        words = words_by_page.get(pg)
+        if words is None:
+            words = words_by_page[pg] = []
+        words_append = words.append
+        conf_of = _word_confidence
+        char_w = CHAR_W
         x = x0
+        total = 0.0
+        nw = 0
         for wi, word in enumerate(text.split(" ")):
             conf = conf_of(word, li, wi)
             # Word-token cache: (text, page, x, y, conf) fully determines
-            # the token dict AND its centroid tuple (box corners are pure
-            # functions of x/y/len(word), centroid-y == y). Form words
-            # repeat at identical positions across millions of documents
-            # (~68% steady-state hit rate, measured); tokens are
-            # read-only downstream, so sharing the dicts is safe — same
-            # contract as the shared corner dicts above.
+            # the token dict (box corners are pure functions of
+            # x/y/len(word)). Form words repeat at identical positions
+            # across millions of documents (~68% steady-state hit rate,
+            # measured); tokens are read-only downstream, so sharing the
+            # dicts is safe — same contract as the shared corner dicts
+            # above.
             key = (word, pg, x, y, conf)
             ent = word_cache.get(key)
             if ent is None:
@@ -611,14 +596,26 @@ def _layout_html_blocks(
                         "bounding_box": [wl, wr, wr, wl],
                         "confidence": conf,
                     },
-                    (cy, (x + wx1 + wx1 + x) / 4, conf),
                     wx1,
                 )
                 if len(word_cache) < _WORD_TOKEN_CACHE_MAX:
                     word_cache[key] = ent
             words_append(ent[0])
-            centroids_append(ent[1])
-            x = ent[2] + char_w
+            total += conf
+            nw += 1
+            x = ent[1] + char_w
+        plines = lines_by_page.get(pg)
+        if plines is None:
+            plines = lines_by_page[pg] = []
+        plines.append(
+            {
+                "type": "line",
+                "text": text,
+                "page": pg,
+                "bounding_box": [pl, pr, pr, pl],
+                "confidence": round(total / nw, 2),
+            }
+        )
         line_idx = li + 1
 
     def next_row(n_rows: int = 1) -> None:
@@ -644,7 +641,12 @@ def _layout_html_blocks(
                     next_row()
                     emit_line(wrapped, 0)
                     row += 1
-    return lines, words, centroids_by_page
+
+    tokens: List[Token] = []
+    for pg in sorted(set(lines_by_page) | set(words_by_page)):
+        tokens.extend(lines_by_page.get(pg, ()))
+        tokens.extend(words_by_page.get(pg, ()))
+    return tokens
 
 
 def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005) -> List[Token]:
@@ -728,8 +730,7 @@ def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
             payload = []
         tokens = tokens_from_layout_words(payload)
     else:
-        lines, words, centroids = _layout_html_blocks(parser.blocks)
-        tokens = _assemble_tokens(lines, words, centroids)
+        tokens = _layout_html_blocks(parser.blocks)
 
     extracted_text = "\n".join(t["text"] for t in tokens if t["type"] == "line")
     return tokens, extracted_text

@@ -93,14 +93,24 @@ def pair_lines(
     # of equal-key lines either way, and by_page keys (pages with at
     # least one line) come out in the same numeric page order — while
     # skipping the sort-key computation for the ~5× more numerous words.
-    ordered = sorted(
-        (t for t in ocr_lines if t["type"] == "line"),
-        key=lambda t: (t["page"], _cy(t["bounding_box"])),
-    )
+    # Decorate-sort with the input index as tiebreak (≡ the stable sort
+    # on (page, cy)) so the cy computed for the sort key is REUSED as
+    # the pass-2 geometry memo instead of being derived a second time.
+    decorated = []
+    idx = 0
+    for t in ocr_lines:
+        if t["type"] == "line":
+            decorated.append((t["page"], _cy(t["bounding_box"]), idx, t))
+            idx += 1
+    # plain tuple sort: idx is unique, so comparison always resolves
+    # before reaching the token dict — ≡ stable sort on (page, cy)
+    decorated.sort()
 
     by_page: Dict[Any, List[Token]] = defaultdict(list)
-    for tok in ordered:
-        by_page[tok["page"]].append(tok)
+    cy_by_page: Dict[Any, List[float]] = defaultdict(list)
+    for page, cy, _, tok in decorated:
+        by_page[page].append(tok)
+        cy_by_page[page].append(cy)
 
     pairs: List[Dict[str, Any]] = []
 
@@ -110,10 +120,28 @@ def pair_lines(
         # Geometry memo: center/height are pure functions of each box —
         # precomputing them turns the O(L²) pass-2 scan's inner test into
         # float compares without changing a single comparison result.
-        cxs = [_cx(ln["bounding_box"]) for ln in lines]
-        cys = [_cy(ln["bounding_box"]) for ln in lines]
-        hts = [_height(ln["bounding_box"]) for ln in lines]
-        boxed = [bool(ln["bounding_box"]) for ln in lines]
+        # One pass computes cx/height/boxed together; cy comes from the
+        # sort decoration above.
+        cys = cy_by_page[page]
+        cxs: List[float] = []
+        hts: List[float] = []
+        boxed: List[bool] = []
+        for ln in lines:
+            box = ln["bounding_box"]
+            if not box:
+                cxs.append(0.0)
+                hts.append(0.0)
+                boxed.append(False)
+            elif len(box) == 4:
+                p0, p1, p2, p3 = box
+                cxs.append((p0["x"] + p1["x"] + p2["x"] + p3["x"]) / 4)
+                y0, y1, y2, y3 = p0["y"], p1["y"], p2["y"], p3["y"]
+                hts.append(max(y0, y1, y2, y3) - min(y0, y1, y2, y3))
+                boxed.append(True)
+            else:
+                cxs.append(_cx(box))
+                hts.append(_height(box))
+                boxed.append(True)
         # Candidate order for pass 2a, sorted by (center-x, line index):
         # scanning ascending x and stopping at the FIRST same-row hit
         # right of the label yields exactly the argmin the original

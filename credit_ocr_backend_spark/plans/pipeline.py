@@ -419,12 +419,10 @@ def run_pipeline(
             "_fields", F.from_json("fields_json", FIELDS_T)
         ).persist()
         try:
-            ckpt.write_chunk(cached.drop("_fields"), "docs", chunk_id)
-
             # Lineage metrics (A8: per-bucket doc counts, failures,
             # cpu-ms) aggregate over the CACHE — a 64-row partial-agg
-            # job on narrow cached columns, ~0.1 s. History of this
-            # shape: round 3 scanned the committed table (0.86 s
+            # job on narrow cached columns, ~0.1 s warm. History of
+            # this shape: round 3 scanned the committed table (0.86 s
             # re-read); round 4 moved it into the results job as an
             # observe() CollectMetrics node (zero extra passes) — but
             # per-bucket breakdowns need 3 aggregate expressions per
@@ -436,6 +434,19 @@ def run_pipeline(
             # handles an empty bucket range (lo == hi, n_chunks >
             # n_buckets) without a special case — it simply returns no
             # rows and the empty-chunk sentinel is recorded.
+            #
+            # Round 6 ordering: this aggregation runs FIRST so it is
+            # the action that MATERIALIZES the cache — the heavy
+            # mapInPandas stage then executes at its full wave-sized
+            # task width, and the docs write below becomes a pure
+            # warm-cache scan that can be coalesced to one file per
+            # core (guide §6 output sizing: the old shape wrote one
+            # sliver file per wave-partition — waves×cores files —
+            # inside the same job that built the cache, paying file
+            # open/commit overhead and build/encode memory contention;
+            # measured ~2 s/chunk at 100k docs). Commit semantics are
+            # unchanged: the chunk's commit point stays the lineage
+            # APPEND after both writes.
             per_bucket = [
                 {
                     "bucket": r["bucket"],
@@ -457,6 +468,10 @@ def run_pipeline(
                 .collect()
             ]
             per_bucket.sort(key=lambda r: r["bucket"])
+
+            ckpt.write_chunk(
+                cached.drop("_fields").coalesce(par), "docs", chunk_id
+            )
 
             # Long-format results: explode AFTER the heavy stage (html
             # long gone); the JSON field payload is parsed JVM-side at

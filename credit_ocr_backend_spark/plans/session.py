@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v2 file committer: tasks move their output into place at task
+        # commit instead of the driver serially renaming every file at
+        # job commit — the standard choice for many-file batch writes.
+        # The pipeline's correctness never leans on v1's job-level
+        # atomicity: chunk completion is decided by the lineage append,
+        # never by directory existence alone.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
