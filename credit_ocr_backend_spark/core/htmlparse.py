@@ -55,6 +55,22 @@ _BLOCK_TAGS = frozenset(
 )
 _CELL_TAGS = frozenset({"td", "th"})
 
+# One-lookup tag dispatch for the tokenizer's handlers: the categories
+# above are mutually exclusive, so a tag resolves to a single kind code
+# instead of cascading 4-5 frozenset membership tests per event.
+_K_OPAQUE, _K_CHROME, _K_LINK, _K_BLOCK, _K_ROW, _K_CELL, _K_BR = range(7)
+_TAG_KIND: Dict[str, int] = {}
+for _t in _OPAQUE_TAGS:
+    _TAG_KIND[_t] = _K_OPAQUE
+for _t in _CHROME_TAGS:
+    _TAG_KIND[_t] = _K_CHROME
+_TAG_KIND["a"] = _K_LINK
+for _t in _BLOCK_TAGS:
+    _TAG_KIND[_t] = _K_ROW if _t == "tr" else _K_BLOCK
+for _t in _CELL_TAGS:
+    _TAG_KIND[_t] = _K_CELL
+_TAG_KIND["br"] = _K_BR
+
 _WS_RE = re.compile(r"\s+")
 
 # Layout constants (inches). Chosen so the emitted geometry satisfies the
@@ -154,36 +170,45 @@ class _PageTokenizer(HTMLParser):
         self.blocks.append(self._current)
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _OPAQUE_TAGS:
+        kind = _TAG_KIND.get(tag)
+        if kind is None:
+            return
+        if kind == _K_BLOCK:
+            self._open_block(is_row=False)
+        elif kind == _K_ROW:
+            self._open_block(is_row=True)
+        elif kind == _K_CELL:
+            cur = self._current
+            if cur is None or not cur.is_row:
+                self._open_block(is_row=True)
+            elif cur.cells[-1]:
+                cur.new_cell()
+        elif kind == _K_LINK:
+            self._link_depth += 1
+        elif kind == _K_CHROME:
+            self._chrome_depth += 1
+        elif kind == _K_OPAQUE:
             self._opaque_depth += 1
             if tag == "script" and dict(attrs).get("type") == LAYOUT_WORDS_MIME:
                 self._capture_layout = True
-            return
-        if tag in _CHROME_TAGS:
-            self._chrome_depth += 1
-        if tag == "a":
-            self._link_depth += 1
-        if tag in _BLOCK_TAGS:
-            self._open_block(is_row=(tag == "tr"))
-        elif tag in _CELL_TAGS:
-            if self._current is None or not self._current.is_row:
-                self._open_block(is_row=True)
-            elif self._current.cells[-1]:
-                self._current.new_cell()
-        elif tag == "br" and self._current is not None:
+        elif self._current is not None:  # br
             self._current.add_text(" ", self._link_depth > 0)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _OPAQUE_TAGS:
+        kind = _TAG_KIND.get(tag)
+        if kind is None:
+            if tag == "body":
+                self._current = None
+            return
+        if kind == _K_BLOCK or kind == _K_ROW:
+            self._current = None
+        elif kind == _K_OPAQUE:
             self._opaque_depth = max(0, self._opaque_depth - 1)
             self._capture_layout = False
-            return
-        if tag in _CHROME_TAGS:
-            self._chrome_depth = max(0, self._chrome_depth - 1)
-        if tag == "a":
+        elif kind == _K_LINK:
             self._link_depth = max(0, self._link_depth - 1)
-        if tag in _BLOCK_TAGS or tag == "body":
-            self._current = None
+        elif kind == _K_CHROME:
+            self._chrome_depth = max(0, self._chrome_depth - 1)
 
     def handle_data(self, data: str) -> None:
         if self._opaque_depth:
@@ -531,7 +556,9 @@ def _assemble_tokens(
     return tokens
 
 
-def _layout_html_blocks(blocks: List[_Block]) -> List[Token]:
+def _layout_html_blocks(
+    blocks: List[_Block], include_words: bool = True
+) -> List[Token]:
     """Deterministic reading-order layout engine: content blocks → the
     ASSEMBLED token stream (per page: all lines, then all words — the
     same emission order `_assemble_tokens` produces).
@@ -544,7 +571,12 @@ def _layout_html_blocks(blocks: List[_Block]) -> List[Token]:
     of which fall inside [x0, x1] — the last word ends exactly at x1),
     in emission order — exactly the list `sum(confs)/len(confs)` was
     computed over. The running float sum below matches `sum()`'s
-    left-associated order, so line confidences are bit-identical."""
+    left-associated order, so line confidences are bit-identical.
+
+    ``include_words=False`` skips MATERIALIZING the word-token dicts
+    (their confidences are still drawn, in the same order, for the line
+    confidence). Callers may use it only when nothing downstream reads
+    word tokens — see parse_page."""
     lines_by_page: Dict[int, List[Token]] = {}
     words_by_page: Dict[int, List[Token]] = {}
     page, row = 1, 0
@@ -564,46 +596,52 @@ def _layout_html_blocks(blocks: List[_Block]) -> List[Token]:
         pr = {"x": x1, "y": y}
         li = line_idx
         pg = page
-        words = words_by_page.get(pg)
-        if words is None:
-            words = words_by_page[pg] = []
-        words_append = words.append
         conf_of = _word_confidence
-        char_w = CHAR_W
-        x = x0
         total = 0.0
         nw = 0
-        for wi, word in enumerate(text.split(" ")):
-            conf = conf_of(word, li, wi)
-            # Word-token cache: (text, page, x, y, conf) fully determines
-            # the token dict (box corners are pure functions of
-            # x/y/len(word)). Form words repeat at identical positions
-            # across millions of documents (~68% steady-state hit rate,
-            # measured); tokens are read-only downstream, so sharing the
-            # dicts is safe — same contract as the shared corner dicts
-            # above.
-            key = (word, pg, x, y, conf)
-            ent = word_cache.get(key)
-            if ent is None:
-                wx1 = x + char_w * len(word)
-                wl = {"x": x, "y": y}
-                wr = {"x": wx1, "y": y}
-                ent = (
-                    {
-                        "type": "word",
-                        "text": word,
-                        "page": pg,
-                        "bounding_box": [wl, wr, wr, wl],
-                        "confidence": conf,
-                    },
-                    wx1,
-                )
-                if len(word_cache) < _WORD_TOKEN_CACHE_MAX:
-                    word_cache[key] = ent
-            words_append(ent[0])
-            total += conf
-            nw += 1
-            x = ent[1] + char_w
+        if include_words:
+            words = words_by_page.get(pg)
+            if words is None:
+                words = words_by_page[pg] = []
+            words_append = words.append
+            char_w = CHAR_W
+            x = x0
+            for wi, word in enumerate(text.split(" ")):
+                conf = conf_of(word, li, wi)
+                # Word-token cache: (text, page, x, y, conf) fully
+                # determines the token dict (box corners are pure
+                # functions of x/y/len(word)). Form words repeat at
+                # identical positions across millions of documents
+                # (~68% steady-state hit rate, measured); tokens are
+                # read-only downstream, so sharing the dicts is safe —
+                # same contract as the shared corner dicts above.
+                key = (word, pg, x, y, conf)
+                ent = word_cache.get(key)
+                if ent is None:
+                    wx1 = x + char_w * len(word)
+                    wl = {"x": x, "y": y}
+                    wr = {"x": wx1, "y": y}
+                    ent = (
+                        {
+                            "type": "word",
+                            "text": word,
+                            "page": pg,
+                            "bounding_box": [wl, wr, wr, wl],
+                            "confidence": conf,
+                        },
+                        wx1,
+                    )
+                    if len(word_cache) < _WORD_TOKEN_CACHE_MAX:
+                        word_cache[key] = ent
+                words_append(ent[0])
+                total += conf
+                nw += 1
+                x = ent[1] + char_w
+        else:
+            # same draws in the same order — identical line confidence
+            for wi, word in enumerate(text.split(" ")):
+                total += conf_of(word, li, wi)
+                nw += 1
         plines = lines_by_page.get(pg)
         if plines is None:
             plines = lines_by_page[pg] = []
@@ -704,11 +742,25 @@ def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005
     return _assemble_tokens(lines, words)
 
 
-def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
+def parse_page(
+    html: bytes | str, include_words: bool = True
+) -> Tuple[List[Token], str]:
     """Parse one page payload → (token stream, extracted main text).
 
     The extracted text is the newline-join of the content lines in
-    reading order — the byte-compared per-url invariant."""
+    reading order — the byte-compared per-url invariant.
+
+    ``include_words=False`` elides the word tokens from the HTML
+    layout path's stream (a pure materialization saving for consumers
+    that only read line tokens). SOUND only because every HTML-path
+    line carries a non-None confidence (computed from the identical
+    word-confidence draws), so the downstream None-confidence fallback
+    that scans word tokens (normalize_items → _first_token_with_text)
+    can never fire, and every other consumer (pair_lines, extract's
+    line_scan, extracted_text) filters to type == "line". The
+    layout-words/PDF path ignores the flag — its payloads may carry
+    None confidences, so its word tokens stay load-bearing. The staged
+    pipeline always uses the default (tokens_json serializes words)."""
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
 
@@ -730,7 +782,7 @@ def parse_page(html: bytes | str) -> Tuple[List[Token], str]:
             payload = []
         tokens = tokens_from_layout_words(payload)
     else:
-        tokens = _layout_html_blocks(parser.blocks)
+        tokens = _layout_html_blocks(parser.blocks, include_words)
 
     extracted_text = "\n".join(t["text"] for t in tokens if t["type"] == "line")
     return tokens, extracted_text

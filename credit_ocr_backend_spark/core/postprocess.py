@@ -148,13 +148,23 @@ def pair_lines(
         # full scan computed — strict `cand_x < best_x` updates mean the
         # smallest cand_x wins, earliest line index among x-ties (the
         # stable (cx, j) key) — with an early break instead of O(L).
+        # The sorted cx keys are kept alongside so each label's scan can
+        # BISECT past the `cxs[j] <= cx` prefix instead of iterating it
+        # (bisect_right lands on the first strictly-greater cx — the
+        # identical skip set).
+        from bisect import bisect_right
+
         xorder = sorted(range(len(lines)), key=lambda j: (cxs[j], j))
+        xkeys = [cxs[j] for j in xorder]
+        # stripped text per line, shared by both passes (str.strip is a
+        # pure function; pass 1 and pass 2 both need it)
+        stripped = [ln["text"].strip() for ln in lines]
 
         # Pass 1: colon-separated label/value on a single line.
         for i, line in enumerate(lines):
             if i in used:
                 continue
-            text = line["text"].strip()
+            text = stripped[i]
             if ":" not in text:
                 continue
             label, _, value = (s.strip() for s in text.partition(":"))
@@ -175,7 +185,7 @@ def pair_lines(
             if i in used:
                 continue
 
-            text = line["text"].strip()
+            text = stripped[i]
             cx, cy = cxs[i], cys[i]
             if cx >= x_split:  # only left-aligned lines act as labels
                 continue
@@ -185,9 +195,7 @@ def pair_lines(
             best: Optional[Token] = None
             if boxed[i]:
                 cy_i, ht_i = cys[i], hts[i]
-                for j in xorder:
-                    if cxs[j] <= cx:  # need strictly right of the label
-                        continue
+                for j in xorder[bisect_right(xkeys, cx):]:
                     if j in used or not boxed[j]:
                         continue
                     ht_j = hts[j]

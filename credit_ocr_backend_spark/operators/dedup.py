@@ -93,14 +93,18 @@ def minhash_signatures(
     Plan shape (r6): the input is spread across the cluster's slots
     when its file layout under-parallelizes the scan (guide §2.5 —
     single-row-group parquet ran the whole explode + hash-family +
-    min(string) SortAggregate pipeline on one core). The id-hash
-    repartition also satisfies the groupBy's distribution, so the
-    aggregation needs NO exchange of its own — the plan is
-    scan → spread → explode → sort+agg, one shuffle total (a
-    pre-explode sortWithinPartitions would NOT remove the post-explode
-    sort: GenerateExec does not propagate child ordering, verified on
-    the 4.1 plan)."""
-    tokens = spread_scan(df, id_col).select(
+    min(string) SortAggregate pipeline on one core). The spread key is
+    DELIBERATELY xxhash64(id), not the raw id: a raw-id repartition
+    would satisfy the groupBy's distribution and fold away the
+    aggregation exchange — which costs ~50n-row sort + n_hashes·50n
+    md5s of partial-aggregation work sitting ABOVE the only reusable
+    exchange, so every consumer that banding forks into (the LSH
+    self-join's sig and non-sig subtrees) would recompute it. With the
+    derived key the heavy explode + partial min-aggregation sits BELOW
+    the doc-keyed exchange, runs exactly once however many times the
+    signature subtree is consumed, and the exchange itself carries only
+    one partially-aggregated row per doc per task."""
+    tokens = spread_scan(df, F.xxhash64(F.col(id_col))).select(
         F.col(id_col).alias("doc"), words_col(text_col).alias("_toks")
     )
     exploded = tokens.select(

@@ -45,6 +45,18 @@ def get_spark(
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow shuffled-hash join where a side's per-partition build
+        # fits (guide §3.1): sort-merge pays two full sorts that a hash
+        # build avoids; plans that NEED sort-merge (the LSH self-joins)
+        # pin it explicitly with hint("merge").
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Floor on scan parallelism (guide §6): few-row-group local
+        # parquet otherwise plans 1-2 scan tasks regardless of core
+        # count. Parameterised by the session's parallelism; at corpus
+        # scale inputs already split far beyond the floor, so this is a
+        # no-op there (it can only SHRINK split size, never inflate
+        # task counts past the natural file/row-group layout).
+        .config("spark.sql.files.minPartitionNum", str(parallelism))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
