@@ -4,11 +4,13 @@ Single place where execution knobs live so tests, bench and the
 spark-submit entrypoint agree:
 
 * AQE on (runtime coalescing + skew-join splitting),
-* Arrow max batch 1024 rows — measured sweet spot: 128-row batches
-  double stage wall time in per-batch worker flush overhead, while the
-  giant-document skew split bounds batch memory (bulk docs ≤32 KB →
-  ≤32 MB/batch; giants live in their own small partitions,
-  SURVEY.md §7.3),
+* Arrow max batch 4096 rows — re-measured in round 6 after the
+  per-document core cost halved (the per-batch worker flush overhead
+  became relatively bigger): 200k-doc pipeline 23.8 s at 1024 → 20.3 s
+  at 4096. The giant-document skew split keeps the memory bound: bulk
+  docs ≤32 KB → ≤128 MB/batch worst-case (realistic ~12 MB at ~3 KB
+  avg html), and giant partitions hold ~a dozen rows each, far below
+  any batch cap (SURVEY.md §7.3),
 * shuffle partitions sized to the local core count (on a real cluster
   this comes from the submit conf; AQE coalesces down as needed).
 """
@@ -19,7 +21,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 1024
+ARROW_BATCH_ROWS = 4096
 
 
 def get_spark(

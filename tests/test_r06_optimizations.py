@@ -1,0 +1,196 @@
+"""Focused tests for the round-6 optimization internals.
+
+Each optimization that changed an operator's internals gets a direct
+equivalence/behavior test here, independent of the broader golden and
+oracle suites:
+
+* spread_scan — scale-adaptive scan repartition (no-op above the
+  threshold, result-invariant below it);
+* parse_page(include_words=False) — the fused path's word-dict elision
+  is value-identical for everything downstream consumes;
+* validate_extracted_fields memo — the cache distinguishes 1 / 1.0 /
+  True (Python hashes them equal; validation must not);
+* the _fast_feed tag-action caches — replay across documents with
+  colliding prefixes stays equivalent to the stdlib parser.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from credit_ocr_backend_spark.core import htmlparse as H
+from credit_ocr_backend_spark.core.config import default_config
+from credit_ocr_backend_spark.core.fields import (
+    extract_fields,
+    validate_extracted_fields,
+)
+from credit_ocr_backend_spark.core.postprocess import normalize_items
+from credit_ocr_backend_spark.sources.pages import build_page
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from credit_ocr_backend_spark.plans.session import get_spark
+
+    s = get_spark("test-r06-optimizations", parallelism=8)
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# spread_scan
+# ---------------------------------------------------------------------------
+
+
+def test_spread_scan_noop_when_well_partitioned(spark):
+    from credit_ocr_backend_spark.operators.spread import spread_scan
+
+    df = spark.range(0, 1000, numPartitions=64)  # >= slots: must no-op
+    out = spread_scan(df, "id")
+    assert out.rdd.getNumPartitions() == 64
+    assert out is df
+
+
+def test_spread_scan_spreads_and_preserves_rows(spark):
+    from credit_ocr_backend_spark.operators.spread import spread_scan
+
+    df = spark.range(0, 1000, numPartitions=1)
+    out = spread_scan(df, "id")
+    target = spark.sparkContext.defaultParallelism
+    if target > 2:  # guard triggers only when 1 partition underfills slots
+        assert out.rdd.getNumPartitions() == target
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+# ---------------------------------------------------------------------------
+# include_words=False parse path
+# ---------------------------------------------------------------------------
+
+# html-layout pages, a layout-words (PDF-like) page, and the giant page
+_KEYS = [0, 3, 10, 17, 21, 38]
+
+
+@pytest.mark.parametrize("k", _KEYS)
+def test_include_words_false_is_value_identical_downstream(k):
+    cfg = default_config()
+    html = build_page(k)["html"]
+    t_full, text_full = H.parse_page(html, include_words=True)
+    t_slim, text_slim = H.parse_page(html, include_words=False)
+
+    assert text_slim == text_full
+    # line tokens identical (order and content)
+    lines_full = [t for t in t_full if t["type"] == "line"]
+    lines_slim = [t for t in t_slim if t["type"] == "line"]
+    assert json.dumps(lines_slim, default=str) == json.dumps(
+        lines_full, default=str
+    )
+    # every downstream consumer of the fused path sees identical values
+    items_full = normalize_items(t_full)
+    items_slim = normalize_items(t_slim)
+    assert json.dumps(items_slim, default=str) == json.dumps(
+        items_full, default=str
+    )
+    ext_full = extract_fields(items_full, cfg, original_ocr_lines=t_full)
+    ext_slim = extract_fields(items_slim, cfg, original_ocr_lines=t_slim)
+    assert json.dumps(ext_slim, default=str, sort_keys=True) == json.dumps(
+        ext_full, default=str, sort_keys=True
+    )
+
+
+def test_include_words_false_html_lines_never_none_confidence():
+    """The soundness precondition of the elision: every HTML-path line
+    carries a numeric confidence, so the None-confidence fallback that
+    reads word tokens can never fire."""
+    for k in _KEYS:
+        tokens, _ = H.parse_page(build_page(k)["html"], include_words=False)
+        if any(t["type"] == "word" for t in tokens):
+            continue  # layout-words page: flag ignored by design
+        assert all(
+            t["confidence"] is not None for t in tokens if t["type"] == "line"
+        )
+
+
+def test_layout_words_path_ignores_include_words():
+    """PDF-like payloads may carry None confidences — their word tokens
+    stay load-bearing regardless of the flag."""
+    html = build_page(3)["html"]  # k % 7 == 3 → layout-words page
+    tokens, _ = H.parse_page(html, include_words=False)
+    assert any(t["type"] == "word" for t in tokens)
+
+
+# ---------------------------------------------------------------------------
+# validation memo
+# ---------------------------------------------------------------------------
+
+
+def test_validation_memo_distinguishes_equal_hashing_types():
+    cfg = default_config()
+    name = next(iter(cfg.validation_rules))
+    # 1 == 1.0 == True hash identically; validation results must come
+    # from the value's own type, repeatedly, in either order
+    for _ in range(2):
+        r_int = validate_extracted_fields({name: {"value": 1}}, cfg)[name]
+        r_float = validate_extracted_fields({name: {"value": 1.0}}, cfg)[name]
+        r_bool = validate_extracted_fields({name: {"value": True}}, cfg)[name]
+        from credit_ocr_backend_spark.core.fields import validate_field
+
+        assert r_int == validate_field({"value": 1}, cfg.validation_rules[name])
+        assert r_float == validate_field(
+            {"value": 1.0}, cfg.validation_rules[name]
+        )
+        assert r_bool == validate_field(
+            {"value": True}, cfg.validation_rules[name]
+        )
+
+
+def test_validation_memo_unhashable_value_falls_through():
+    cfg = default_config()
+    name = next(iter(cfg.validation_rules))
+    from credit_ocr_backend_spark.core.fields import validate_field
+
+    data = {name: {"value": ["not", "hashable"]}}
+    assert validate_extracted_fields(data, cfg)[name] == validate_field(
+        {"value": ["not", "hashable"]}, cfg.validation_rules[name]
+    )
+
+
+# ---------------------------------------------------------------------------
+# tag-action cache soundness across documents
+# ---------------------------------------------------------------------------
+
+
+def _events(html: str):
+    parser = H._PageTokenizer()
+    if not H._fast_feed(parser, html):
+        parser = H._PageTokenizer()
+        parser.feed(html)
+        parser.close()
+    return [
+        (b.cells, b.text_chars, b.link_chars, b.is_chrome, b.is_row)
+        for b in parser.blocks
+    ]
+
+
+def test_tag_cache_replay_matches_stdlib_across_documents():
+    """Two documents sharing tag spellings — including a tag slice whose
+    quoted attribute contains '>' (never cacheable) right after the
+    same prefix WAS cached from a simpler document."""
+    doc_a = "<p><a href='/x' title='plain'>t</a></p><td>cell</td>"
+    doc_b = "<p><a href='/x' title='a>b'>t</a></p><td>cell</td>"
+    for html in (doc_a, doc_b, doc_a, doc_b):
+        fast = H._PageTokenizer()
+        ok = H._fast_feed(fast, html)
+        ref = H._PageTokenizer()
+        ref.feed(html)
+        ref.close()
+        if ok:
+            got = [
+                (b.cells, b.text_chars, b.link_chars, b.is_chrome, b.is_row)
+                for b in fast.blocks
+            ]
+            want = [
+                (b.cells, b.text_chars, b.link_chars, b.is_chrome, b.is_row)
+                for b in ref.blocks
+            ]
+            assert got == want
