@@ -156,6 +156,18 @@ def pair_lines(
 
         xorder = sorted(range(len(lines)), key=lambda j: (cxs[j], j))
         xkeys = [cxs[j] for j in xorder]
+        # Degenerate-height fast path: when EVERY box on the page has
+        # zero height (the synthetic layout's single-y line boxes),
+        # `tallest * 0.1` is 0 and the same-row test reduces to exact
+        # cy equality — so each label only needs to scan its own
+        # cy-group (kept in the same (cx, j) candidate order) instead
+        # of every line to its right. Any non-zero height falls back
+        # to the general scan.
+        all_flat = not any(hts)
+        cy_groups: Dict[float, List[int]] = {}
+        if all_flat:
+            for j in xorder:
+                cy_groups.setdefault(cys[j], []).append(j)
         # stripped text per line, shared by both passes (str.strip is a
         # pure function; pass 1 and pass 2 both need it)
         stripped = [ln["text"].strip() for ln in lines]
@@ -195,14 +207,21 @@ def pair_lines(
             best: Optional[Token] = None
             if boxed[i]:
                 cy_i, ht_i = cys[i], hts[i]
-                for j in xorder[bisect_right(xkeys, cx):]:
-                    if j in used or not boxed[j]:
-                        continue
-                    ht_j = hts[j]
-                    tallest = ht_i if ht_i > ht_j else ht_j
-                    if abs(cy_i - cys[j]) <= tallest * 0.1:
+                if all_flat:
+                    for j in cy_groups[cy_i]:
+                        if cxs[j] <= cx or j in used or not boxed[j]:
+                            continue
                         best = lines[j]
                         break
+                else:
+                    for j in xorder[bisect_right(xkeys, cx):]:
+                        if j in used or not boxed[j]:
+                            continue
+                        ht_j = hts[j]
+                        tallest = ht_i if ht_i > ht_j else ht_j
+                        if abs(cy_i - cys[j]) <= tallest * 0.1:
+                            best = lines[j]
+                            break
 
             if best is not None:
                 pairs.append(
