@@ -123,6 +123,15 @@ def _png_unfilter(raw: "np.ndarray", height: int, stride: int, bpp: int):
 
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
 
+# Absolute raster ceiling (bytes of decoded scanline data). The bounded
+# inflate below caps output at the size the IHDR implies — but the IHDR
+# is untrusted, so a CONSISTENT bomb (huge declared dims + a tiny
+# compressed-zeros IDAT that really does inflate that far) would still
+# allocate the full declared raster. A fixed ceiling closes that:
+# nothing in this pipeline legitimately decodes rasters beyond a few
+# tens of MB, and the stage row-isolates the raise into decode_ok=false.
+_PNG_MAX_RASTER_BYTES = 64 * 1024 * 1024
+
 
 def decode_png(payload: bytes):
     """Pure-stdlib PNG decode → (H, W, C) uint8 numpy array. Supports
@@ -163,6 +172,11 @@ def decode_png(payload: bytes):
     channels = _PNG_CHANNELS[color]
     stride = width * channels
     expected = height * (stride + 1)
+    if expected > _PNG_MAX_RASTER_BYTES:
+        raise ValueError(
+            f"PNG: declared raster {width}x{height}x{channels} exceeds the "
+            f"{_PNG_MAX_RASTER_BYTES >> 20} MB decode ceiling"
+        )
     # bounded inflate: cap the output at the size IHDR implies BEFORE
     # allocating, so a decompression-bomb IDAT cannot OOM the worker
     # (the module docstring's no-single-payload-OOM design)
@@ -222,6 +236,12 @@ def decode_bmp(payload: bytes):
     compression = _struct.unpack("<I", payload[30:34])[0]
     if depth != 24 or compression != 0:
         raise NotImplementedError(f"BMP: depth={depth} compression={compression}")
+    if width <= 0 or height == 0:
+        # width is parsed signed — non-positive width or zero height
+        # would build an empty raster whose mean/std NaN-poison the
+        # feature columns with decode_ok=true (mirror of the PNG
+        # zero-dimension guard)
+        raise ValueError(f"BMP: invalid dimensions {width}x{height}")
     flip = height > 0
     height = abs(height)
     stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes

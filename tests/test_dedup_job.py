@@ -149,8 +149,9 @@ def test_resume_migrates_pre_cc_algorithm_manifest(spark, corpus, tmp_path):
     ckpt.write_manifest(manifest)
 
     # the realistic CLI path: no explicit --cc on resume → follow the
-    # committed manifest (historical default 'label'), NOT the current
-    # fresh-run default 'star'
+    # committed manifest (historical default 'label', which here equals
+    # the fresh-run default — the star-pinned test below is the one
+    # that distinguishes follow-the-manifest from use-the-default)
     res = run_dedup(spark, corpus, out, jaccard=0.5, resume=True)
     assert sorted(res["resumed_stages"]) == [0, 1, 2, 3, 4]
     assert ckpt.read_manifest()["cc_algorithm"] == "label"
@@ -158,3 +159,22 @@ def test_resume_migrates_pre_cc_algorithm_manifest(spark, corpus, tmp_path):
     # resuming under an EXPLICITLY different algorithm is still an error
     with pytest.raises(ValueError):
         run_dedup(spark, corpus, out, jaccard=0.5, cc_algorithm="star", resume=True)
+
+
+def test_resume_follows_manifest_not_fresh_default(spark, corpus, tmp_path):
+    """ADVICE r5 (low): the manifest-following branch must be exercised
+    with a pinned value that DIFFERS from the fresh-run default
+    ('label') — commit a star run, resume with no explicit choice, and
+    the resume must adopt star rather than the default."""
+    from credit_ocr_backend_spark.sources.checkpoint import CheckpointManager
+
+    out = str(tmp_path / "star_out")
+    run_dedup(spark, corpus, out, jaccard=0.5, cc_algorithm="star")
+    ckpt = CheckpointManager(spark, out)
+    assert ckpt.read_manifest()["cc_algorithm"] == "star"
+
+    res = run_dedup(spark, corpus, out, jaccard=0.5, resume=True)
+    assert sorted(res["resumed_stages"]) == [0, 1, 2, 3, 4]
+    # an adopted fresh default would have raised a manifest mismatch or
+    # rewritten the pin; the committed star choice must survive intact
+    assert ckpt.read_manifest()["cc_algorithm"] == "star"

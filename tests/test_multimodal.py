@@ -302,3 +302,63 @@ def test_png_rejects_zero_dims_and_bounded_inflate():
     # sanity: a real image still round-trips after the hardening
     img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     assert (decode_png(encode_png(img)) == img).all()
+
+
+def test_png_consistent_bomb_hits_absolute_ceiling():
+    """ADVICE r5 (medium): a CONSISTENT bomb — huge declared dims whose
+    tiny compressed-zeros IDAT really inflates that far — must hit the
+    absolute raster ceiling before allocating, not sail past the
+    IHDR-derived bound."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from credit_ocr_backend_spark.operators.multimodal import decode_png
+
+    w = h = 16384  # RGBA: 16384*16384*4 ≈ 1 GiB raster, ~1 MB compressed
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # stream zero rows through one compressobj WITHOUT materializing the
+    # 1 GiB plaintext: the test itself must not allocate the bomb
+    co = zlib.compressobj(9)
+    row = b"\x00" * (w * 4 + 1)
+    parts = []
+    for _ in range(h):
+        parts.append(co.compress(row))
+    parts.append(co.flush())
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"".join(parts))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="ceiling"):
+        decode_png(payload)
+
+
+def test_bmp_rejects_zero_and_negative_width():
+    """ADVICE r5 (low): width=0 (or negative) with height>0 must raise
+    instead of producing an empty raster whose mean/std NaN-poison the
+    features with decode_ok=true."""
+    import struct
+
+    import pytest
+
+    from credit_ocr_backend_spark.operators.multimodal import decode_bmp
+
+    def bmp(width, height):
+        dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 0, 0, 0, 0)
+        off = 14 + 40
+        hdr = b"BM" + struct.pack("<IHHI", off, 0, 0, off)
+        return hdr + dib
+
+    for width, height in ((0, 3), (-2, 3), (2, 0)):
+        with pytest.raises(ValueError, match="dimensions"):
+            decode_bmp(bmp(width, height))
