@@ -389,17 +389,15 @@ def q_hourly_events(spark, sf):
     """Tumbling event-time window aggregation (the batch form of the
     streaming windowed agg; watermarking applies on the stream path).
 
-    spread_scan (guide §2.5): the per-row date_trunc + format + partial
-    aggregation otherwise runs inside the 1-2 scan tasks a
-    single-row-group events file plans — measured 1.11 → 0.78 s at
-    sf1.0. (The window queries over the same table do NOT spread: their
-    first exchange is already the parallelization point and an extra
-    shuffle measured as a wash.)"""
-    from credit_ocr_backend_spark.operators.spread import spread_scan
-
+    Round-6 negative result: spreading this scan (guide §2.5) looked
+    like a win under background contention (0.79 → 0.72 s at sf1.0)
+    but on an idle machine the single-task partial aggregation is fast
+    enough that the extra exchange is a wash at sf1.0 (0.59 vs 0.61 s)
+    and a clear loss at sf0.1 (0.14 vs 0.25 s) — left UNSPREAD; the
+    first exchange stays the parallelization point."""
     _utc(spark)
     return (
-        spread_scan(_t(spark, sf, "events"), "event_id")
+        _t(spark, sf, "events")
         .groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
