@@ -219,7 +219,16 @@ class _PageTokenizer(HTMLParser):
             return
         if self._current is None:
             self._open_block(is_row=False)
-        self._current.add_text(data, self._link_depth > 0)
+        cur = self._current
+        if cur.is_chrome:
+            # chrome-marked blocks are dropped unconditionally before
+            # their content or link-density is ever read (the layout
+            # engine's `is_chrome` check short-circuits) — skip the
+            # accumulation. A non-chrome block that stays current
+            # across a chrome subtree (e.g. <p>…<nav>…) still
+            # accumulates, exactly as before.
+            return
+        cur.add_text(data, self._link_depth > 0)
 
 
 # ---------------------------------------------------------------------------
