@@ -469,10 +469,6 @@ def run_pipeline(
             ]
             per_bucket.sort(key=lambda r: r["bucket"])
 
-            ckpt.write_chunk(
-                cached.drop("_fields").coalesce(par), "docs", chunk_id
-            )
-
             # Long-format results: explode AFTER the heavy stage (html
             # long gone); the JSON field payload is parsed JVM-side at
             # codegen speed, one task per core (coalesce merges the
@@ -488,7 +484,26 @@ def run_pipeline(
                 "bucket",
                 *[F.col(f"f.{c}").alias(c) for c in RESULT_COLUMNS],
             ).where(F.col("field_name").isNotNull()).coalesce(par)
-            ckpt.write_chunk(results, "results", chunk_id)
+
+            # The two warm-cache writes are independent (separate
+            # output directories, shared read-only cache) — submit them
+            # from two driver threads so each job's task tail backfills
+            # the other's idle slots (guide §2.6). The commit point is
+            # unchanged: the lineage append below happens only after
+            # BOTH futures complete (a failure in either raises here,
+            # before anything is recorded as done).
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=2) as _pool:
+                f_docs = _pool.submit(
+                    ckpt.write_chunk,
+                    cached.drop("_fields").coalesce(par), "docs", chunk_id,
+                )
+                f_results = _pool.submit(
+                    ckpt.write_chunk, results, "results", chunk_id
+                )
+                f_docs.result()
+                f_results.result()
         finally:
             cached.unpersist()
 
