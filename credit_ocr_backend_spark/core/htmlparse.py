@@ -301,6 +301,18 @@ _TAG_ACTION_CACHE_MAX = 8192
 _WORD_TOKEN_CACHE: Dict[tuple, tuple] = {}
 _WORD_TOKEN_CACHE_MAX = 65536
 
+# Whole-line token cache for the words-elided fused path:
+# (text, line_idx, page, row, cell) fully determines the emitted line
+# token — y/x0/x1 are affine in (row, cell, len(text)) and the
+# confidence is the rounded mean of the _word_confidence draws, which
+# depend only on (text, line_idx). Tokens are read-only downstream
+# (same sharing contract as _WORD_TOKEN_CACHE / the shared corner
+# dicts), so replaying the dict is byte-identical to rebuilding it.
+# Only the include_words=False path uses it: with words materialized
+# the per-word x-advance loop has to run anyway.
+_LINE_TOKEN_CACHE: Dict[tuple, Token] = {}
+_LINE_TOKEN_CACHE_MAX = 65536
+
 
 def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     """Emit the html.parser(convert_charrefs=True) event stream for ``s``
@@ -593,8 +605,22 @@ def _layout_html_blocks(
 
     word_cache = _WORD_TOKEN_CACHE
 
+    line_cache = _LINE_TOKEN_CACHE
+
     def emit_line(text: str, cell: int) -> None:
         nonlocal line_idx
+        li = line_idx
+        pg = page
+        if not include_words:
+            lkey = (text, li, pg, row, cell)
+            cached_tok = line_cache.get(lkey)
+            if cached_tok is not None:
+                plines = lines_by_page.get(pg)
+                if plines is None:
+                    plines = lines_by_page[pg] = []
+                plines.append(cached_tok)
+                line_idx = li + 1
+                return
         y = TOP_MARGIN + row * ROW_STEP + cell * CELL_Y_STEP
         x0 = LEFT_MARGIN + cell * CELL_X_STEP
         x1 = x0 + CHAR_W * len(text)
@@ -603,8 +629,6 @@ def _layout_html_blocks(
         # byte-identical)
         pl = {"x": x0, "y": y}
         pr = {"x": x1, "y": y}
-        li = line_idx
-        pg = page
         conf_of = _word_confidence
         total = 0.0
         nw = 0
@@ -651,18 +675,19 @@ def _layout_html_blocks(
             for wi, word in enumerate(text.split(" ")):
                 total += conf_of(word, li, wi)
                 nw += 1
+        tok = {
+            "type": "line",
+            "text": text,
+            "page": pg,
+            "bounding_box": [pl, pr, pr, pl],
+            "confidence": round(total / nw, 2),
+        }
+        if not include_words and len(line_cache) < _LINE_TOKEN_CACHE_MAX:
+            line_cache[lkey] = tok
         plines = lines_by_page.get(pg)
         if plines is None:
             plines = lines_by_page[pg] = []
-        plines.append(
-            {
-                "type": "line",
-                "text": text,
-                "page": pg,
-                "bounding_box": [pl, pr, pr, pl],
-                "confidence": round(total / nw, 2),
-            }
-        )
+        plines.append(tok)
         line_idx = li + 1
 
     def next_row(n_rows: int = 1) -> None:

@@ -25,6 +25,7 @@ Quirks that are load-bearing for parity and intentionally preserved:
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections import defaultdict
 from typing import Any, Dict, List, Optional
 
@@ -152,22 +153,22 @@ def pair_lines(
         # BISECT past the `cxs[j] <= cx` prefix instead of iterating it
         # (bisect_right lands on the first strictly-greater cx — the
         # identical skip set).
-        from bisect import bisect_right
-
-        xorder = sorted(range(len(lines)), key=lambda j: (cxs[j], j))
-        xkeys = [cxs[j] for j in xorder]
         # Degenerate-height fast path: when EVERY box on the page has
         # zero height (the synthetic layout's single-y line boxes),
         # `tallest * 0.1` is 0 and the same-row test reduces to exact
         # cy equality — so each label only needs to scan its own
         # cy-group (kept in the same (cx, j) candidate order) instead
         # of every line to its right. Any non-zero height falls back
-        # to the general scan.
+        # to the general scan, which is the only consumer of
+        # xorder/xkeys — they are built only on that branch.
         all_flat = not any(hts)
         cy_groups: Dict[float, List[int]] = {}
         if all_flat:
-            for j in xorder:
+            for j in sorted(range(len(lines)), key=lambda j: (cxs[j], j)):
                 cy_groups.setdefault(cys[j], []).append(j)
+        else:
+            xorder = sorted(range(len(lines)), key=lambda j: (cxs[j], j))
+            xkeys = [cxs[j] for j in xorder]
         # stripped text per line, shared by both passes (str.strip is a
         # pure function; pass 1 and pass 2 both need it)
         stripped = [ln["text"].strip() for ln in lines]

@@ -194,3 +194,45 @@ def test_tag_cache_replay_matches_stdlib_across_documents():
                 for b in ref.blocks
             ]
             assert got == want
+
+
+# ---------------------------------------------------------------------------
+# line-token memo (include_words=False fast path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("k", _KEYS)
+def test_line_token_memo_replay_is_value_identical(k):
+    """A second parse of the same page replays line tokens from
+    _LINE_TOKEN_CACHE; the replayed stream must be value-identical to
+    the cold stream (and to the include_words=True line stream)."""
+    html = build_page(k)["html"]
+    H._LINE_TOKEN_CACHE.clear()
+    cold, text_cold = H.parse_page(html, include_words=False)
+    warm, text_warm = H.parse_page(html, include_words=False)
+    assert text_warm == text_cold
+    assert json.dumps(warm, default=str) == json.dumps(cold, default=str)
+
+
+def test_line_token_memo_keys_disambiguate_position():
+    """The same text at a different line index / row draws different
+    word confidences — the memo key must not collapse them."""
+    H._LINE_TOKEN_CACHE.clear()
+    # two pages where the SAME cell text appears at different rows
+    doc_a = "<table><tr><td>Feld</td><td>Wert</td></tr></table>"
+    doc_b = (
+        "<p>Kopfzeile davor</p>"
+        "<table><tr><td>Feld</td><td>Wert</td></tr></table>"
+    )
+    tok_a, _ = H.parse_page(doc_a, include_words=False)
+    tok_b, _ = H.parse_page(doc_b, include_words=False)
+    # independent reference: words materialized, no line memo used
+    ref_a, _ = H.parse_page(doc_a, include_words=True)
+    ref_b, _ = H.parse_page(doc_b, include_words=True)
+    lines = lambda ts: [t for t in ts if t["type"] == "line"]
+    assert json.dumps(lines(tok_a), default=str) == json.dumps(
+        lines(ref_a), default=str
+    )
+    assert json.dumps(lines(tok_b), default=str) == json.dumps(
+        lines(ref_b), default=str
+    )
