@@ -277,7 +277,7 @@ _CDATA_CLOSE = {
 }
 
 # Start-tag action cache: raw '<...>' slice (from '<' through the FIRST
-# '>') → ("start" | "startend", tag, attrs). Crawl corpora repeat a
+# '>') → (startend: bool, tag, attrs). Crawl corpora repeat a
 # small set of tag spellings millions of times (chrome links, <td>,
 # <p>, ...); replaying the parsed action from a dict lookup skips the
 # tagname/body/attr regex machinery per occurrence. SOUNDNESS: an entry
@@ -290,7 +290,7 @@ _CDATA_CLOSE = {
 # Slices whose tag body spans past the first '>' (a quoted '>') are
 # never cached and always take the full parse path. Bounded; attrs
 # tuples are shared read-only (the handler never mutates attrs).
-_TAG_ACTION_CACHE: Dict[str, Tuple[str, str, list]] = {}
+_TAG_ACTION_CACHE: Dict[str, Tuple[bool, str, list]] = {}
 _ENDTAG_CACHE: Dict[str, str] = {}
 _TAG_ACTION_CACHE_MAX = 8192
 
@@ -317,23 +317,73 @@ _LINE_TOKEN_CACHE_MAX = 65536
 def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     """Emit the html.parser(convert_charrefs=True) event stream for ``s``
     into ``handler`` — or return False the moment anything outside the
-    proven subset appears (caller falls back to the stdlib parser)."""
+    proven subset appears (caller falls back to the stdlib parser).
+
+    The _PageTokenizer handler logic is INLINED here with the tokenizer
+    state in locals: the scan drives handler.blocks /
+    handler.layout_words_json (the handler's own list objects, mutated
+    in place) while the depth counters / current-block pointer live in
+    local variables — per-event method dispatch plus the second
+    _TAG_KIND lookup inside the handlers were a measurable slice of
+    per-document parse cost. The equivalence contract is unchanged and
+    enforced by the same tests (fuzz + adversarial cases comparing the
+    end-state blocks against a stdlib-HTMLParser-driven _PageTokenizer,
+    plus the reference goldens): on a True return the handler holds
+    exactly the block/layout state the method-driven feed produced; on
+    False the caller re-parses the WHOLE document on a fresh handler,
+    so no local state ever needs writing back."""
     from html import unescape
 
     i, n = 0, len(s)
     find = s.find
-    handle_data = handler.handle_data
-    handle_starttag = handler.handle_starttag
-    handle_endtag = handler.handle_endtag
+    # inlined _PageTokenizer state (fresh handler: all zero/empty)
+    blocks = handler.blocks
+    layout_json = handler.layout_words_json
+    chrome_depth = handler._chrome_depth
+    opaque_depth = handler._opaque_depth
+    link_depth = handler._link_depth
+    capture_layout = handler._capture_layout
+    current = handler._current
+    tag_kind = _TAG_KIND
     while i < n:
         j = find("<", i)
         if j < 0:
             run = s[i:]
-            handle_data(unescape(run) if "&" in run else run)
+            if "&" in run:
+                run = unescape(run)
+            # inline handle_data (tail run)
+            if opaque_depth:
+                if capture_layout:
+                    layout_json.append(run)
+            elif run and not run.isspace():
+                if current is None:
+                    current = _Block(chrome_depth > 0, False)
+                    blocks.append(current)
+                if not current.is_chrome:
+                    current.cells[-1].append(run)
+                    ln = len(run)
+                    current.text_chars += ln
+                    if link_depth:
+                        current.link_chars += ln
             return True
         if i < j:
             run = s[i:j]
-            handle_data(unescape(run) if "&" in run else run)
+            if "&" in run:
+                run = unescape(run)
+            # inline handle_data (text run before a tag)
+            if opaque_depth:
+                if capture_layout:
+                    layout_json.append(run)
+            elif run and not run.isspace():
+                if current is None:
+                    current = _Block(chrome_depth > 0, False)
+                    blocks.append(current)
+                if not current.is_chrome:
+                    current.cells[-1].append(run)
+                    ln = len(run)
+                    current.text_chars += ln
+                    if link_depth:
+                        current.link_chars += ln
         i = j
         nxt = s[i + 1] if i + 1 < n else ""
         if nxt == "/":
@@ -341,30 +391,43 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             # end-tag grammar contains no '>', so the slice through the
             # first '>' is the whole match — context-free, cacheable.
             gt2 = find(">", i + 2)
-            cached_end = _ENDTAG_CACHE.get(s[i : gt2 + 1]) if gt2 > 0 else None
-            if cached_end is not None:
-                handle_endtag(cached_end)
+            tag_l = _ENDTAG_CACHE.get(s[i : gt2 + 1]) if gt2 > 0 else None
+            if tag_l is not None:
                 i = gt2 + 1
-                continue
-            m = _ENDTAG_STRICT_RE.match(s, i)
-            if m:
-                tag_l = m.group(1).lower()
-                handle_endtag(tag_l)
-                if m.end() == gt2 + 1 and len(_ENDTAG_CACHE) < _TAG_ACTION_CACHE_MAX:
-                    _ENDTAG_CACHE[s[i : gt2 + 1]] = tag_l
-                i = m.end()
-                continue
-            m = _TAGNAME_RE.match(s, i + 2)
-            gt = find(">", i + 1)
-            if gt < 0:
-                return False  # unterminated — stdlib recovery is subtle
-            if m:  # tolerant endtag: '</div foo>' fires endtag('div')
-                handle_endtag(m.group(0).lower())
-            elif s[i : i + 3] == "</>":
-                i += 3
-                continue
-            # else bogus comment '</...>': no event, skip to '>'
-            i = gt + 1
+            else:
+                m = _ENDTAG_STRICT_RE.match(s, i)
+                if m:
+                    tag_l = m.group(1).lower()
+                    if m.end() == gt2 + 1 and len(_ENDTAG_CACHE) < _TAG_ACTION_CACHE_MAX:
+                        _ENDTAG_CACHE[s[i : gt2 + 1]] = tag_l
+                    i = m.end()
+                else:
+                    m = _TAGNAME_RE.match(s, i + 2)
+                    gt = find(">", i + 1)
+                    if gt < 0:
+                        return False  # unterminated — stdlib recovery is subtle
+                    if m:  # tolerant endtag: '</div foo>' fires endtag('div')
+                        tag_l = m.group(0).lower()
+                    elif s[i : i + 3] == "</>":
+                        i += 3
+                        continue
+                    # else bogus comment '</...>': no event, skip to '>'
+                    i = gt + 1
+            if tag_l is not None:
+                # inline handle_endtag
+                kind = tag_kind.get(tag_l)
+                if kind is not None:
+                    if kind == _K_BLOCK or kind == _K_ROW:
+                        current = None
+                    elif kind == _K_OPAQUE:
+                        opaque_depth = opaque_depth - 1 if opaque_depth > 0 else 0
+                        capture_layout = False
+                    elif kind == _K_LINK:
+                        link_depth = link_depth - 1 if link_depth > 0 else 0
+                    elif kind == _K_CHROME:
+                        chrome_depth = chrome_depth - 1 if chrome_depth > 0 else 0
+                elif tag_l == "body":
+                    current = None
             continue
         if nxt == "!":
             if s.startswith("<!--", i):
@@ -392,92 +455,119 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
         gt = find(">", i + 1)
         act = _TAG_ACTION_CACHE.get(s[i : gt + 1]) if gt > 0 else None
         if act is not None:
-            kind, tag, attrs = act
-            if kind == "startend":
-                handler.handle_startendtag(tag, attrs)
-                i = gt + 1
-                continue
-            handle_starttag(tag, attrs)
+            startend, tag, attrs = act
             i = gt + 1
-            if tag in _CDATA_CONTENT:
-                m2 = _CDATA_END[tag].search(s, i)
-                if not m2:
-                    return False  # unterminated cdata
-                if i < m2.start():
-                    handle_data(s[i : m2.start()])  # raw, no unescape
-                m3 = _CDATA_CLOSE[tag].match(s, m2.start())
-                if not m3:
+        else:
+            m = _TAGNAME_RE.match(s, i + 1)
+            if not m:
+                # bare '<' is literal text — inline handle_data("<")
+                if opaque_depth:
+                    if capture_layout:
+                        layout_json.append("<")
+                else:  # "<" is non-empty, non-space
+                    if current is None:
+                        current = _Block(chrome_depth > 0, False)
+                        blocks.append(current)
+                    if not current.is_chrome:
+                        current.cells[-1].append("<")
+                        current.text_chars += 1
+                        if link_depth:
+                            current.link_chars += 1
+                i += 1
+                continue
+            raw_tag = m.group(0)
+            tag = _lower_tag(raw_tag)
+            body = _TAG_BODY_RE.match(s, m.end())
+            end = body.end()
+            if end >= n or s[end] != ">":
+                return False  # unterminated start tag
+            region = s[m.end() : end]
+            if not region:
+                startend = False
+                attrs = []
+            else:
+                # Sequential strict attr matching; whatever the grammar
+                # can't consume decides: '' → start tag, '/' → self-
+                # closing, anything else → outside the proven subset,
+                # fall back.
+                attrs = []
+                pos = 0
+                while True:
+                    am = _ATTR_RE.match(region, pos)
+                    if not am:
+                        break
+                    pos = am.end()
+                    name, v1, v2, v3 = am.groups()
+                    value = v1 if v1 is not None else v2 if v2 is not None else v3
+                    if value is not None and "&" in value:
+                        value = unescape(value)
+                    attrs.append((name.lower(), value))
+                rest = region[pos:].strip()
+                if rest == "/":
+                    startend = True
+                elif rest == "":
+                    startend = False
+                else:
                     return False
-                handle_endtag(tag)
-                i = m3.end()
-            continue
-        m = _TAGNAME_RE.match(s, i + 1)
-        if not m:
-            handle_data("<")  # bare '<' is literal text
-            i += 1
-            continue
-        raw_tag = m.group(0)
-        tag = _lower_tag(raw_tag)
-        body = _TAG_BODY_RE.match(s, m.end())
-        end = body.end()
-        if end >= n or s[end] != ">":
-            return False  # unterminated start tag
-        region = s[m.end() : end]
-        if not region:
-            handle_starttag(tag, [])
             if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
-                _TAG_ACTION_CACHE[s[i : end + 1]] = ("start", tag, [])
+                _TAG_ACTION_CACHE[s[i : end + 1]] = (startend, tag, attrs)
             i = end + 1
-            if tag in _CDATA_CONTENT:
-                m2 = _CDATA_END[tag].search(s, i)
-                if not m2:
-                    return False  # unterminated cdata
-                if i < m2.start():
-                    handle_data(s[i : m2.start()])  # raw, no unescape
-                m3 = _CDATA_CLOSE[tag].match(s, m2.start())
-                if not m3:
-                    return False
-                handle_endtag(tag)
-                i = m3.end()
-            continue
-        # Sequential strict attr matching; whatever the grammar can't
-        # consume decides: '' → start tag, '/' → self-closing, anything
-        # else → outside the proven subset, fall back.
-        attrs = []
-        pos = 0
-        while True:
-            am = _ATTR_RE.match(region, pos)
-            if not am:
-                break
-            pos = am.end()
-            name, v1, v2, v3 = am.groups()
-            value = v1 if v1 is not None else v2 if v2 is not None else v3
-            if value is not None and "&" in value:
-                value = unescape(value)
-            attrs.append((name.lower(), value))
-        rest = region[pos:].strip()
-        if rest == "/":
-            if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
-                _TAG_ACTION_CACHE[s[i : end + 1]] = ("startend", tag, attrs)
-            handler.handle_startendtag(tag, attrs)
-            i = end + 1
-            continue
-        if rest != "":
-            return False
-        if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
-            _TAG_ACTION_CACHE[s[i : end + 1]] = ("start", tag, attrs)
-        handle_starttag(tag, attrs)
-        i = end + 1
-        if tag in _CDATA_CONTENT:
+        # inline handle_starttag (shared by the cached and parsed routes)
+        kind = tag_kind.get(tag)
+        if kind is not None:
+            if kind == _K_BLOCK:
+                current = _Block(chrome_depth > 0, False)
+                blocks.append(current)
+            elif kind == _K_ROW:
+                current = _Block(chrome_depth > 0, True)
+                blocks.append(current)
+            elif kind == _K_CELL:
+                if current is None or not current.is_row:
+                    current = _Block(chrome_depth > 0, True)
+                    blocks.append(current)
+                elif current.cells[-1]:
+                    current.cells.append([])
+            elif kind == _K_LINK:
+                link_depth += 1
+            elif kind == _K_CHROME:
+                chrome_depth += 1
+            elif kind == _K_OPAQUE:
+                opaque_depth += 1
+                if tag == "script" and dict(attrs).get("type") == LAYOUT_WORDS_MIME:
+                    capture_layout = True
+            elif current is not None:  # br
+                current.add_text(" ", link_depth > 0)
+        if startend:
+            # inline handle_endtag — the self-closing tag's closing
+            # half; like the stdlib, a self-closed script/style fires
+            # start+end and never enters cdata mode
+            if kind is not None:
+                if kind == _K_BLOCK or kind == _K_ROW:
+                    current = None
+                elif kind == _K_OPAQUE:
+                    opaque_depth = opaque_depth - 1 if opaque_depth > 0 else 0
+                    capture_layout = False
+                elif kind == _K_LINK:
+                    link_depth = link_depth - 1 if link_depth > 0 else 0
+                elif kind == _K_CHROME:
+                    chrome_depth = chrome_depth - 1 if chrome_depth > 0 else 0
+            elif tag == "body":
+                current = None
+        elif tag in _CDATA_CONTENT:
             m2 = _CDATA_END[tag].search(s, i)
             if not m2:
                 return False  # unterminated cdata
             if i < m2.start():
-                handle_data(s[i : m2.start()])  # raw, no unescape
+                # inline handle_data: script/style content is opaque
+                # (opaque_depth ≥ 1 here) — raw, no unescape
+                if capture_layout:
+                    layout_json.append(s[i : m2.start()])
             m3 = _CDATA_CLOSE[tag].match(s, m2.start())
             if not m3:
                 return False  # '</script foo>' etc. — let stdlib decide
-            handle_endtag(tag)
+            # inline handle_endtag(script|style): opaque by definition
+            opaque_depth = opaque_depth - 1 if opaque_depth > 0 else 0
+            capture_layout = False
             i = m3.end()
     return True
 

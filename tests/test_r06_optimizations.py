@@ -236,3 +236,46 @@ def test_line_token_memo_keys_disambiguate_position():
     assert json.dumps(lines(tok_b), default=str) == json.dumps(
         lines(ref_b), default=str
     )
+
+
+def test_inlined_scanner_state_machine_matches_stdlib():
+    """_fast_feed inlines the _PageTokenizer handlers with local state;
+    a deterministic randomized composition sweep checks the end-state
+    blocks/layout capture against the stdlib-driven handler across the
+    constructs the inline dispatch branches on (chrome/link depth,
+    cells, cdata, self-closing tags, bare '<', </body>)."""
+    import random
+
+    def state(handler):
+        return (
+            [
+                (b.cells, b.text_chars, b.link_chars, b.is_chrome, b.is_row)
+                for b in handler.blocks
+            ],
+            handler.layout_words_json,
+        )
+
+    frags = [
+        "<p>", "</p>", "<div>", "</div>", "<tr>", "</tr>", "<td>", "</td>",
+        "<table>", "</table>", "<nav>", "</nav>", "<a href='/x'>", "</a>",
+        "<br>", "<br/>", "text", "wörter & mehr", "a&amp;b", " ", "\n",
+        "<script>var x=1;</script>", "<style>p{}</style>",
+        "<script type='application/x-layout-words'>[]</script>",
+        "<!-- c -->", "<!doctype html>", "<?pi?>", "</>", "<",
+        "<img src='x'/>", "<input value='a>b'>", "<body>", "</body>",
+        "<aside>", "</aside>", "<DIV>", "</DIV>", "<td  >", "</div extra>",
+        "&#65;", "text<with<angle",
+    ]
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(3000):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 20)))
+        fast = H._PageTokenizer()
+        if not H._fast_feed(fast, doc):
+            continue  # fallback path: stdlib reparse, not under test
+        ref = H._PageTokenizer()
+        ref.feed(doc)
+        ref.close()
+        assert state(fast) == state(ref), repr(doc)
+        checked += 1
+    assert checked > 2000  # the sweep must mostly stay on the fast path
