@@ -249,6 +249,17 @@ def _config_tables(doc_config: DocumentTypeConfig) -> Dict[str, Any]:
             if aliases
         }
         cached["validation_cache"] = {}
+        # Per-label memos (the same handful of form labels recurs across
+        # millions of documents; both are pure functions of the label
+        # and this config's tables, so they live and die with the entry):
+        # * alias_match_cache: normalized label → the eng name of the
+        #   FIRST norm_alias contained in it (declaration order), or
+        #   None — exactly the break the map_items_to_fields scan takes.
+        # * label_fields_cache: lowercased raw label → frozenset of
+        #   fields whose alias alternation matches it (order-irrelevant
+        #   boolean containment, same as alias_rx.search).
+        cached["alias_match_cache"] = {}
+        cached["label_fields_cache"] = {}
         _CONFIG_CACHE.clear()
         _CONFIG_CACHE["entry"] = cached
     return cached
@@ -273,17 +284,28 @@ def map_items_to_fields(
     tables = _config_tables(doc_config)
     norm_aliases = tables["norm_aliases"]
     expected_set = tables["expected_set"]
+    match_cache = tables["alias_match_cache"]
 
     found: Dict[str, Any] = {}
     for item in items:
         if item.get("type") != "label_value":
             continue
         item_label = normalize_label(item["label"])
-        for norm_alias, eng_name in norm_aliases:
-            if norm_alias in item_label:
-                if eng_name in expected_set and eng_name not in found:
-                    found[eng_name] = item["value"]
-                break
+        # memoized first-containment scan (see _config_tables): the
+        # winning eng name is a pure function of the normalized label
+        # and the declaration-ordered alias list
+        if item_label in match_cache:
+            eng = match_cache[item_label]
+        else:
+            eng = None
+            for norm_alias, eng_name in norm_aliases:
+                if norm_alias in item_label:
+                    eng = eng_name
+                    break
+            if len(match_cache) < 32768:
+                match_cache[item_label] = eng
+        if eng is not None and eng in expected_set and eng not in found:
+            found[eng] = item["value"]
 
     missing = [f for f in doc_config.expected_fields if f not in found]
     return {"extracted_fields": found, "missing_fields": missing}
@@ -321,12 +343,29 @@ def extract_fields(
     # Lowercase each scan target ONCE (the loops below re-scan the same
     # items/lines for every one of the 22 fields; str.lower() per field
     # per item was ~10% of per-document cost). Pure hoisting — the scan
-    # order and match semantics are unchanged.
-    pair_scan = [
-        (item, item["label"].lower(), item["value"].lower())
-        for item in items
-        if item["type"] == "label_value"
-    ]
+    # order and match semantics are unchanged. Each item label's
+    # alias-regex verdicts are additionally replayed from the per-label
+    # memo (label_fields_cache: the frozenset of fields whose alias
+    # alternation matches — `field_name in mset` ⇔
+    # `alias_rx.search(label_lc) is not None` by construction), so the
+    # per-field scans below do set membership instead of regex work on
+    # the recurring form labels.
+    tables = _config_tables(doc_config)
+    rx_by_field = tables["alias_rx_by_field"]
+    lf_cache = tables["label_fields_cache"]
+    pair_scan = []
+    for item in items:
+        if item["type"] != "label_value":
+            continue
+        label_lc = item["label"].lower()
+        mset = lf_cache.get(label_lc)
+        if mset is None:
+            mset = frozenset(
+                eng for eng, rx in rx_by_field.items() if rx.search(label_lc)
+            )
+            if len(lf_cache) < 32768:
+                lf_cache[label_lc] = mset
+        pair_scan.append((item, mset, item["value"].lower()))
     line_scan = (
         [(tok, tok["text"].lower()) for tok in original_ocr_lines if tok["type"] == "line"]
         if original_ocr_lines
@@ -343,18 +382,17 @@ def extract_fields(
             continue
 
         value_str = str(field_data["value"]).lower()
-        alias_rx = _config_tables(doc_config)["alias_rx_by_field"].get(field_name)
+        alias_rx = rx_by_field.get(field_name)
 
-        # (a) label_value evidence
+        # (a) label_value evidence (memoized alias verdicts, see above)
         pair = None
         if alias_rx is not None:
-            search = alias_rx.search
-            for item, label_lc, value_lc in pair_scan:
-                if search(label_lc) is not None or value_str in value_lc:
+            for item, mset, value_lc in pair_scan:
+                if field_name in mset or value_str in value_lc:
                     pair = item
                     break
         else:
-            for item, label_lc, value_lc in pair_scan:
+            for item, _mset, value_lc in pair_scan:
                 if value_str in value_lc:
                     pair = item
                     break

@@ -279,3 +279,64 @@ def test_inlined_scanner_state_machine_matches_stdlib():
         assert state(fast) == state(ref), repr(doc)
         checked += 1
     assert checked > 2000  # the sweep must mostly stay on the fast path
+
+
+def test_alias_match_memo_equivalence():
+    """map_items_to_fields' per-label memo must replay exactly the
+    first-containment scan: first alias in declaration order wins, a
+    non-expected alias still consumes the break, unseen labels map to
+    None."""
+    from credit_ocr_backend_spark.core.fields import (
+        _config_tables,
+        map_items_to_fields,
+        normalize_label,
+    )
+
+    cfg = default_config()
+    tables = _config_tables(cfg)
+    items = [
+        {"type": "label_value", "label": lab, "value": f"v{i}"}
+        for i, (lab, _) in enumerate(
+            [("Firmenname", None), ("Kaufpreis / Baukosten", None),
+             ("Völlig Unbekannt", None), ("Laufzeit", None)]
+        )
+    ]
+    out_cold = map_items_to_fields(items, cfg)
+    # memo is now populated — a second pass must be identical
+    out_warm = map_items_to_fields(items, cfg)
+    assert out_cold == out_warm
+    # cross-check each cached verdict against a direct scan
+    for item in items:
+        norm = normalize_label(item["label"])
+        direct = None
+        for norm_alias, eng in tables["norm_aliases"]:
+            if norm_alias in norm:
+                direct = eng
+                break
+        assert tables["alias_match_cache"].get(norm) == direct
+
+
+def test_label_fields_memo_matches_alias_rx():
+    """extract_fields' label_fields_cache entries must agree with the
+    alias regexes field-by-field for every label it has seen."""
+    from credit_ocr_backend_spark.core.fields import (
+        _config_tables,
+        extract_fields,
+    )
+
+    cfg = default_config()
+    items = [
+        {"type": "label_value", "label": "Firmenname", "value": "X GmbH",
+         "page": 1, "confidence": 0.9, "bounding_box": None},
+        {"type": "label_value", "label": "Nicht Vorhanden", "value": "y",
+         "page": 1, "confidence": 0.9, "bounding_box": None},
+    ]
+    extract_fields(items, cfg)
+    tables = _config_tables(cfg)
+    for label_lc, mset in tables["label_fields_cache"].items():
+        direct = {
+            eng
+            for eng, rx in tables["alias_rx_by_field"].items()
+            if rx.search(label_lc)
+        }
+        assert set(mset) == direct, label_lc
