@@ -277,7 +277,7 @@ _CDATA_CLOSE = {
 }
 
 # Start-tag action cache: raw '<...>' slice (from '<' through the FIRST
-# '>') → (startend: bool, tag, attrs). Crawl corpora repeat a
+# '>') → (startend: bool, tag, attrs, kind). Crawl corpora repeat a
 # small set of tag spellings millions of times (chrome links, <td>,
 # <p>, ...); replaying the parsed action from a dict lookup skips the
 # tagname/body/attr regex machinery per occurrence. SOUNDNESS: an entry
@@ -290,7 +290,7 @@ _CDATA_CLOSE = {
 # Slices whose tag body spans past the first '>' (a quoted '>') are
 # never cached and always take the full parse path. Bounded; attrs
 # tuples are shared read-only (the handler never mutates attrs).
-_TAG_ACTION_CACHE: Dict[str, Tuple[bool, str, list]] = {}
+_TAG_ACTION_CACHE: Dict[str, tuple] = {}
 _ENDTAG_CACHE: Dict[str, str] = {}
 _TAG_ACTION_CACHE_MAX = 8192
 
@@ -391,15 +391,18 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             # end-tag grammar contains no '>', so the slice through the
             # first '>' is the whole match — context-free, cacheable.
             gt2 = find(">", i + 2)
-            tag_l = _ENDTAG_CACHE.get(s[i : gt2 + 1]) if gt2 > 0 else None
-            if tag_l is not None:
+            ent = _ENDTAG_CACHE.get(s[i : gt2 + 1]) if gt2 > 0 else None
+            if ent is not None:
+                tag_l, kind = ent  # kind rides in the cache entry
                 i = gt2 + 1
             else:
+                tag_l = None
                 m = _ENDTAG_STRICT_RE.match(s, i)
                 if m:
                     tag_l = m.group(1).lower()
+                    kind = tag_kind.get(tag_l)
                     if m.end() == gt2 + 1 and len(_ENDTAG_CACHE) < _TAG_ACTION_CACHE_MAX:
-                        _ENDTAG_CACHE[s[i : gt2 + 1]] = tag_l
+                        _ENDTAG_CACHE[s[i : gt2 + 1]] = (tag_l, kind)
                     i = m.end()
                 else:
                     m = _TAGNAME_RE.match(s, i + 2)
@@ -408,6 +411,7 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                         return False  # unterminated — stdlib recovery is subtle
                     if m:  # tolerant endtag: '</div foo>' fires endtag('div')
                         tag_l = m.group(0).lower()
+                        kind = tag_kind.get(tag_l)
                     elif s[i : i + 3] == "</>":
                         i += 3
                         continue
@@ -415,7 +419,6 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                     i = gt + 1
             if tag_l is not None:
                 # inline handle_endtag
-                kind = tag_kind.get(tag_l)
                 if kind is not None:
                     if kind == _K_BLOCK or kind == _K_ROW:
                         current = None
@@ -455,7 +458,7 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
         gt = find(">", i + 1)
         act = _TAG_ACTION_CACHE.get(s[i : gt + 1]) if gt > 0 else None
         if act is not None:
-            startend, tag, attrs = act
+            startend, tag, attrs, kind = act  # kind rides in the entry
             i = gt + 1
         else:
             m = _TAGNAME_RE.match(s, i + 1)
@@ -509,11 +512,11 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                     startend = False
                 else:
                     return False
+            kind = tag_kind.get(tag)
             if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
-                _TAG_ACTION_CACHE[s[i : end + 1]] = (startend, tag, attrs)
+                _TAG_ACTION_CACHE[s[i : end + 1]] = (startend, tag, attrs, kind)
             i = end + 1
         # inline handle_starttag (shared by the cached and parsed routes)
-        kind = tag_kind.get(tag)
         if kind is not None:
             if kind == _K_BLOCK:
                 current = _Block(chrome_depth > 0, False)
@@ -574,6 +577,12 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
 
 def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
     """Greedy word wrap; a single over-long word still gets its own line."""
+    # Single-line fast path: when the whole text fits and has no
+    # leading/trailing/double spaces, the greedy loop provably rebuilds
+    # it verbatim as one line (every split word is non-empty and the
+    # cumulative packed length equals the prefix length ≤ width).
+    if 0 < len(text) <= width and text[0] != " " and text[-1] != " " and "  " not in text:
+        return [text]
     lines: List[str] = []
     current = ""
     for word in text.split(" "):

@@ -101,7 +101,12 @@ def pair_lines(
     idx = 0
     for t in ocr_lines:
         if t["type"] == "line":
-            decorated.append((t["page"], _cy(t["bounding_box"]), idx, t))
+            box = t["bounding_box"]
+            if box and len(box) == 4:  # inline _cy's 4-point fast path
+                cy = (box[0]["y"] + box[1]["y"] + box[2]["y"] + box[3]["y"]) / 4
+            else:
+                cy = _cy(box)
+            decorated.append((t["page"], cy, idx, t))
             idx += 1
     # plain tuple sort: idx is unique, so comparison always resolves
     # before reaching the token dict — ≡ stable sort on (page, cy)
