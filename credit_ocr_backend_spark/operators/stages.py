@@ -112,6 +112,153 @@ def _field_rows(extraction: Optional[Dict[str, Any]]) -> List[Dict[str, Any]]:
     return rows
 
 
+# ---------------------------------------------------------------------------
+# fields_json fast path — byte-equal composer for
+# dumps_compact(_field_rows(extraction)).
+#
+# Serializing the field rows was the single most expensive piece of the
+# per-document tail (~110 µs/doc): each row nests a 4-point bounding box
+# (8 float reprs) and a validation tail, and CPython's C encoder pays
+# the float-repr cost every document even though the box lists and
+# validation dicts are SHARED objects (the parser's token caches and
+# the per-config validation memo hand the same objects to every
+# document that repeats a form row). Concatenating per-value
+# ``dumps_compact`` fragments with the same separators is byte-equal to
+# one ``dumps_compact`` of the whole structure (the C encoder emits a
+# value identically at any nesting depth, and the row keys are fixed
+# ASCII literals in construction order), so the shared sub-objects'
+# fragments replay from identity-keyed memos — each cache value holds
+# (obj, fragment) and hits only when the stored obj IS the argument, so
+# a recycled id can never alias, and the held reference pins the id.
+# Byte-equality is enforced by tests/test_spark_pipeline.py (the
+# pipeline row must equal dumps_compact(_field_rows(...)) recomputed
+# driver-side) and a dedicated corpus/adversarial test.
+# ---------------------------------------------------------------------------
+
+_BOX_FRAG_CACHE: Dict[int, tuple] = {}
+_VAL_FRAG_CACHE: Dict[int, tuple] = {}
+_STR_FRAG_CACHE: Dict[str, str] = {}
+_FRAG_CACHE_MAX = 32768
+_NO_VALIDATION_TAIL = '"is_valid":null,"errors":null}'
+
+
+def _str_frag(s: str) -> str:
+    if len(s) <= 96:
+        v = _STR_FRAG_CACHE.get(s)
+        if v is None:
+            v = dumps_compact(s)
+            if len(_STR_FRAG_CACHE) < _FRAG_CACHE_MAX:
+                _STR_FRAG_CACHE[s] = v
+        return v
+    return dumps_compact(s)
+
+
+# Numeric fragment memo: the synthetic geometry draws its coordinates
+# from a few hundred distinct values, but each unshared box pays 8
+# float reprs (the C encoder's dominant cost). Keyed by (class, value)
+# — Python hashes 1 == 1.0 together but "1" != "1.0" as JSON — and
+# zero is excluded because -0.0 == 0.0 would alias their distinct
+# reprs. NaN never caches (NaN != NaN misses the lookup) and falls
+# through to dumps. bool is excluded by the exact-class check.
+_NUM_FRAG_CACHE: Dict[tuple, str] = {}
+
+
+def _num_frag(v) -> str:
+    cls = v.__class__
+    if (cls is float or cls is int) and v != 0:
+        key = (cls, v)
+        f = _NUM_FRAG_CACHE.get(key)
+        if f is None:
+            f = dumps_compact(v)
+            if len(_NUM_FRAG_CACHE) < _FRAG_CACHE_MAX:
+                _NUM_FRAG_CACHE[key] = f
+        return f
+    return dumps_compact(v)
+
+
+def _box_frag_build(box) -> str:
+    """Compose a bounding-box fragment from numeric memos — byte-equal
+    to dumps_compact(box) for the token shape ([{"x":…,"y":…}]*N with
+    the keys in that insertion order); any other shape falls back."""
+    parts = []
+    for p in box:
+        if p.__class__ is dict and len(p) == 2:
+            it = iter(p.items())
+            k1, v1 = next(it)
+            k2, v2 = next(it)
+            if k1 == "x" and k2 == "y":
+                parts.append(
+                    '{"x":' + _num_frag(v1) + ',"y":' + _num_frag(v2) + "}"
+                )
+                continue
+        return dumps_compact(box)
+    return "[" + ",".join(parts) + "]"
+
+
+def _fields_json(extraction: Optional[Dict[str, Any]]) -> str:
+    """Exactly dumps_compact(_field_rows(extraction)), composed from
+    memoized fragments (see the block comment above)."""
+    if not extraction:
+        return "[]"
+    parts = []
+    validations = extraction.get("validation_results", {})
+    for name, data in extraction.get("extracted_fields", {}).items():
+        value = data.get("value")
+        if not (isinstance(value, str) or value is None):
+            value = str(value)
+        box = data.get("bounding_box")
+        if box is None:
+            box_frag = "null"
+        else:
+            ent = _BOX_FRAG_CACHE.get(id(box))
+            if ent is not None and ent[0] is box:
+                box_frag = ent[1]
+            else:
+                box_frag = _box_frag_build(box)
+                if len(_BOX_FRAG_CACHE) < _FRAG_CACHE_MAX:
+                    _BOX_FRAG_CACHE[id(box)] = (box, box_frag)
+        validation = validations.get(name)
+        if not validation:  # falsy ≡ _field_rows' `if validation else None`
+            tail = _NO_VALIDATION_TAIL
+        else:
+            ent = _VAL_FRAG_CACHE.get(id(validation))
+            if ent is not None and ent[0] is validation:
+                tail = ent[1]
+            else:
+                tail = (
+                    '"is_valid":'
+                    + dumps_compact(validation["is_valid"])
+                    + ',"errors":'
+                    + dumps_compact(validation["errors"])
+                    + "}"
+                )
+                if len(_VAL_FRAG_CACHE) < _FRAG_CACHE_MAX:
+                    _VAL_FRAG_CACHE[id(validation)] = (validation, tail)
+        parts.append(
+            '{"field_name":'
+            + _str_frag(name)
+            + ',"value":'
+            + ("null" if value is None else _str_frag(value))
+            + ',"confidence":'
+            + (
+                "null"
+                if (conf := data.get("confidence")) is None
+                else _num_frag(conf)
+            )
+            + ',"page":'
+            + (
+                "null"
+                if (pg := data.get("page")) is None
+                else _num_frag(pg)
+            )
+            + ',"bounding_box":'
+            + box_frag
+            + ","
+            + tail
+        )
+    return "[" + ",".join(parts) + "]"
+
+
 def _extracted_row(
     url: str, bucket: int, status: str, error: Optional[str],
     extracted_text: str, extraction: Optional[Dict[str, Any]], proc_ms: float,
@@ -123,7 +270,7 @@ def _extracted_row(
         "error": error,
         "extracted_text": extracted_text,
         "missing_fields": (extraction or {}).get("missing_fields"),
-        "fields_json": dumps_compact(_field_rows(extraction)),
+        "fields_json": _fields_json(extraction),
         "proc_ms": proc_ms,
     }
 

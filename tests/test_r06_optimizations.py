@@ -340,3 +340,57 @@ def test_label_fields_memo_matches_alias_rx():
             if rx.search(label_lc)
         }
         assert set(mset) == direct, label_lc
+
+
+def test_fields_json_fragment_composer_byte_equal():
+    """_fields_json must emit exactly dumps_compact(_field_rows(...)) —
+    including the aliasing hazards the fragment memos are guarded
+    against: int vs float (1 vs 1.0), -0.0 vs 0.0, NaN, bool values,
+    non-token box shapes, falsy validation dicts, >96-char strings."""
+    from credit_ocr_backend_spark.core.document import dumps_compact
+    from credit_ocr_backend_spark.operators.stages import (
+        _field_rows,
+        _fields_json,
+    )
+
+    payloads = [
+        None,
+        {},
+        {"extracted_fields": {}, "validation_results": {}},
+        {
+            "extracted_fields": {
+                "a": {"value": "x", "confidence": 1, "page": 1,
+                      "bounding_box": [{"x": 1, "y": 2}]},
+                "b": {"value": "x", "confidence": 1.0, "page": 1.0,
+                      "bounding_box": [{"x": 1.0, "y": 2.0}]},
+                "c": {"value": "x", "confidence": 0.0, "page": 0,
+                      "bounding_box": [{"x": -0.0, "y": 0.0}]},
+                "d": {"value": 123.75, "confidence": float("nan"),
+                      "bounding_box": [{"y": 1.0, "x": 2.0}]},  # y-first
+                "e": {"value": True, "confidence": None,
+                      "bounding_box": [{"x": 1.0, "y": 2.0, "z": 3.0}]},
+                "f": {"value": "q\"uo\\te ü" + "L" * 200,
+                      "bounding_box": []},
+                "g": {"value": None},
+                "h": {},
+            },
+            "validation_results": {
+                "a": {"is_valid": True, "errors": []},
+                "b": {"is_valid": False, "errors": ["e1", 'ü"2']},
+                "c": {},  # falsy dict → null/null tail
+                "d": {"is_valid": None, "errors": None},
+            },
+        },
+    ]
+    for p in payloads:
+        assert _fields_json(p) == dumps_compact(_field_rows(p))
+    # and across real documents twice (cold + memo-replayed fragments)
+    cfg = default_config()
+    from credit_ocr_backend_spark.core.document import process_document
+
+    for k in _KEYS:
+        ext = process_document(
+            f"u{k}", build_page(k)["html"], cfg
+        )["extraction"]
+        for _ in range(2):
+            assert _fields_json(ext) == dumps_compact(_field_rows(ext))
