@@ -394,3 +394,30 @@ def test_fields_json_fragment_composer_byte_equal():
         )["extraction"]
         for _ in range(2):
             assert _fields_json(ext) == dumps_compact(_field_rows(ext))
+
+
+def test_worker_heap_freeze_is_one_shot_and_inert():
+    """The per-worker gc.freeze runs once (flag-guarded), moves the
+    warm caches out of cycle-GC's reach, and never changes stage
+    output — the fused stage emits identical rows before and after."""
+    import gc
+
+    from credit_ocr_backend_spark.operators import stages as S
+
+    pdf = __import__("pandas").DataFrame(
+        {
+            "url": [f"u{i}" for i in range(4)],
+            "bucket": [1, 2, 3, 4],
+            "html": [build_page(k)["html"] for k in (0, 1, 2, 4)],
+        }
+    )
+    fused = S.make_fused_stage(default_config())
+    first = list(fused(iter([pdf])))[0]
+    assert S._GC_FROZEN is True
+    frozen_after_first = gc.get_freeze_count()
+    assert frozen_after_first > 0
+    second = list(fused(iter([pdf])))[0]
+    # one-shot: a second batch must not re-freeze the newer heap
+    assert gc.get_freeze_count() <= frozen_after_first
+    drop_clock = lambda df: df.drop(columns=["proc_ms"]).to_dict("records")
+    assert drop_clock(first) == drop_clock(second)
