@@ -601,6 +601,7 @@ def _wrap(text: str, width: int = WRAP_CHARS) -> List[str]:
 def _assemble_tokens(
     lines: List[Tuple[str, int, List[Dict[str, float]]]],
     words: List[Token],
+    word_centroids: Optional[List[Tuple[float, float]]] = None,
 ) -> List[Token]:
     """Emit per page: all lines (with containment-averaged confidence),
     then all words — the reference's per-page emission order and
@@ -621,22 +622,34 @@ def _assemble_tokens(
     # (centroid_y, centroid_x, confidence) per word, grouped by page and
     # sorted by y so each line's containment test bisects to its y-band
     # instead of scanning every word on the page (same comparisons, same
-    # results — pure index acceleration).
+    # results — pure index acceleration). A caller that already knows
+    # each word's centroid (tokens_from_layout_words computes the box
+    # corners itself) passes ``word_centroids`` aligned with ``words``
+    # — values identical to the recomputation by the same expressions.
     words_by_page: Dict[int, List[Token]] = {}
     centroids_by_page: Dict[int, list] = {}
-    for w in words:
-        words_by_page.setdefault(w["page"], []).append(w)
-        wb = w["bounding_box"]
-        if wb:
-            if len(wb) == 4:  # fast path, bit-identical to sum()/len()
-                cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
-                cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
-            else:
-                cy = sum(p["y"] for p in wb) / len(wb)
-                cx = sum(p["x"] for p in wb) / len(wb)
-            centroids_by_page.setdefault(w["page"], []).append(
-                (cy, cx, w["confidence"])
-            )
+    if word_centroids is not None:
+        for w, cent in zip(words, word_centroids):
+            pg = w["page"]
+            words_by_page.setdefault(pg, []).append(w)
+            if cent is not None:
+                centroids_by_page.setdefault(pg, []).append(
+                    (cent[0], cent[1], w["confidence"])
+                )
+    else:
+        for w in words:
+            words_by_page.setdefault(w["page"], []).append(w)
+            wb = w["bounding_box"]
+            if wb:
+                if len(wb) == 4:  # fast path, bit-identical to sum()/len()
+                    cy = (wb[0]["y"] + wb[1]["y"] + wb[2]["y"] + wb[3]["y"]) / 4
+                    cx = (wb[0]["x"] + wb[1]["x"] + wb[2]["x"] + wb[3]["x"]) / 4
+                else:
+                    cy = sum(p["y"] for p in wb) / len(wb)
+                    cx = sum(p["x"] for p in wb) / len(wb)
+                centroids_by_page.setdefault(w["page"], []).append(
+                    (cy, cx, w["confidence"])
+                )
     for page_centroids in centroids_by_page.values():
         page_centroids.sort(key=lambda t: t[0])
 
@@ -833,6 +846,7 @@ def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005
     ordered = sorted(payload, key=lambda w: (w["p"], w["y"], w["x"]))
 
     words: List[Token] = []
+    cents: List[Tuple[float, float]] = []
     for w in ordered:
         x0, y0, x1, y1 = w["x"], w["y"], w["x"] + w["w"], w["y"] + w["h"]
         words.append(
@@ -847,6 +861,9 @@ def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005
                 "confidence": round(w["c"], 2) if w.get("c") is not None else None,
             }
         )
+        # same left-to-right corner order as _assemble_tokens'
+        # recomputation — bit-identical centroids
+        cents.append(((y0 + y0 + y1 + y1) / 4, (x0 + x1 + x1 + x0) / 4))
 
     lines: List[Tuple[str, int, List[Dict[str, float]]]] = []
     group: List[Dict[str, Any]] = []
@@ -854,16 +871,35 @@ def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005
     def flush() -> None:
         if not group:
             return
-        text = " ".join(g["t"] for g in group)
-        min_x = min(g["x"] for g in group)
-        max_x = max(g["x"] + g["w"] for g in group)
-        min_y = min(g["y"] for g in group)
-        max_y = max(g["y"] + g["h"] for g in group)
+        # One fused pass replaces four genexpr min/max sweeps. The
+        # replace-on-strictly-smaller/greater updates are exactly
+        # builtins min()/max() over the same iteration order (first
+        # element seeds; NaN never replaces — identical semantics).
+        g0 = group[0]
+        texts = [g0["t"]]
+        min_x = g0["x"]
+        max_x = min_x + g0["w"]
+        min_y = g0["y"]
+        max_y = min_y + g0["h"]
+        for g in group[1:]:
+            texts.append(g["t"])
+            x = g["x"]
+            if x < min_x:
+                min_x = x
+            x += g["w"]
+            if x > max_x:
+                max_x = x
+            y = g["y"]
+            if y < min_y:
+                min_y = y
+            y += g["h"]
+            if y > max_y:
+                max_y = y
         box = [
             {"x": min_x, "y": min_y}, {"x": max_x, "y": min_y},
             {"x": max_x, "y": max_y}, {"x": min_x, "y": max_y},
         ]
-        lines.append((text, group[0]["p"], box))
+        lines.append((" ".join(texts), g0["p"], box))
 
     for w in ordered:
         if group and (w["p"] != group[0]["p"] or abs(w["y"] - group[0]["y"]) > y_tol):
@@ -872,7 +908,7 @@ def tokens_from_layout_words(payload: List[Dict[str, Any]], y_tol: float = 0.005
         group.append(w)
     flush()
 
-    return _assemble_tokens(lines, words)
+    return _assemble_tokens(lines, words, word_centroids=cents)
 
 
 def parse_page(

@@ -421,3 +421,35 @@ def test_worker_heap_freeze_is_one_shot_and_inert():
     assert gc.get_freeze_count() <= frozen_after_first
     drop_clock = lambda df: df.drop(columns=["proc_ms"]).to_dict("records")
     assert drop_clock(first) == drop_clock(second)
+
+
+def test_assemble_tokens_centroid_shortcut_is_identical():
+    """tokens_from_layout_words passes precomputed word centroids to
+    _assemble_tokens; the result must be identical to the recomputing
+    path (same expressions, same floats), including None-confidence
+    words."""
+    import json as _json
+
+    payload = [
+        {"t": "a", "p": 1, "x": 0.5, "y": 1.0, "w": 0.1, "h": 0.015, "c": 0.93},
+        {"t": "b", "p": 1, "x": 0.7, "y": 1.001, "w": 0.2, "h": 0.015, "c": None},
+        {"t": "c", "p": 2, "x": 3.0, "y": 2.0, "w": 0.15, "h": 0.02, "c": 0.97},
+    ]
+    html = (
+        "<main><script type='application/x-layout-words'>"
+        + _json.dumps(payload)
+        + "</script></main>"
+    ).encode()
+    toks, text = H.parse_page(html)
+    # independent reference: rebuild lines/words and assemble WITHOUT
+    # the centroid shortcut
+    ref = H.tokens_from_layout_words(payload)
+    lines_ref = [t for t in ref if t["type"] == "line"]
+    words_ref = [t for t in ref if t["type"] == "word"]
+    ref2 = H._assemble_tokens(
+        [(t["text"], t["page"], t["bounding_box"]) for t in lines_ref],
+        words_ref,
+    )
+    assert json.dumps(toks, default=str) == json.dumps(ref, default=str)
+    # line tokens of the no-shortcut assembly agree (words identical too)
+    assert [t for t in ref2 if t["type"] == "line"] == lines_ref
