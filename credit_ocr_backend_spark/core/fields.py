@@ -366,11 +366,11 @@ def extract_fields(
             if len(lf_cache) < 32768:
                 lf_cache[label_lc] = mset
         pair_scan.append((item, mset, item["value"].lower()))
-    line_scan = (
-        [(tok, tok["text"].lower()) for tok in original_ocr_lines if tok["type"] == "line"]
-        if original_ocr_lines
-        else []
-    )
+    # line_scan is built LAZILY on the first (b) consult: the raw-line
+    # fallback only runs for a field whose (a) label_value scan missed,
+    # which on form-shaped corpora is the rare case — eagerly
+    # lowercasing every line for every document was pure waste.
+    line_scan = None
 
     extracted: Dict[str, Any] = {}
     for field_name, raw in llm_result["extracted_fields"].items():
@@ -408,6 +408,16 @@ def extract_fields(
 
         # (b) raw-line evidence
         line = None
+        if line_scan is None:
+            line_scan = (
+                [
+                    (tok, tok["text"].lower())
+                    for tok in original_ocr_lines
+                    if tok["type"] == "line"
+                ]
+                if original_ocr_lines
+                else []
+            )
         if alias_rx is not None:
             search = alias_rx.search
             for tok, text_lc in line_scan:

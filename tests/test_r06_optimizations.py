@@ -453,3 +453,31 @@ def test_assemble_tokens_centroid_shortcut_is_identical():
     assert json.dumps(toks, default=str) == json.dumps(ref, default=str)
     # line tokens of the no-shortcut assembly agree (words identical too)
     assert [t for t in ref2 if t["type"] == "line"] == lines_ref
+
+
+def test_lazy_line_scan_still_serves_raw_line_evidence():
+    """line_scan builds lazily on the first (a)-miss; a field whose
+    label_value evidence misses must still find its raw-line evidence
+    exactly as before."""
+    cfg = default_config()
+    # an item that MAPS the field (normalized alias containment) but
+    # whose raw-lowercase label/value match neither the alias regexes
+    # nor the value string — forcing the (b) raw-line branch
+    items = [
+        {"type": "label_value", "label": "FIRMENNAME", "value": "zzz",
+         "page": 1, "confidence": 0.9, "bounding_box": None},
+    ]
+    lines = [
+        {"type": "line", "text": "Der Firmenname: zzz GmbH", "page": 1,
+         "confidence": 0.88, "bounding_box": [{"x": 0.5, "y": 1.0}]},
+    ]
+    out = extract_fields(items, cfg, original_ocr_lines=lines)
+    vals = out["extracted_fields"]
+    # whichever canonical name it maps to, the evidence must be the
+    # raw line (its full text and its confidence), not the bare value
+    row = next(iter(vals.values()))
+    assert row["value"] in ("zzz", "Der Firmenname: zzz GmbH")
+    # and with NO matching line the bare-value fallback still applies
+    out2 = extract_fields(items, cfg, original_ocr_lines=[])
+    row2 = next(iter(out2["extracted_fields"].values()))
+    assert row2["confidence"] in (0.5, 0.9)
