@@ -34,6 +34,7 @@ import hashlib
 import json
 import re
 from functools import lru_cache
+from html import unescape
 from html.parser import HTMLParser
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -332,8 +333,6 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     exactly the block/layout state the method-driven feed produced; on
     False the caller re-parses the WHOLE document on a fresh handler,
     so no local state ever needs writing back."""
-    from html import unescape
-
     i, n = 0, len(s)
     find = s.find
     # inlined _PageTokenizer state (fresh handler: all zero/empty)

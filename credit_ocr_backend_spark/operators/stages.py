@@ -163,6 +163,30 @@ def _str_frag(s: str) -> str:
 # through to dumps. bool is excluded by the exact-class check.
 _NUM_FRAG_CACHE: Dict[tuple, str] = {}
 
+# Whole-prefix memo: the row fragment up through ',"bounding_box":' is a
+# pure function of (name, value, confidence, page) — all hashables —
+# and the corpus draws them from a small hot set (fixed field names,
+# mostly-fixed values, ~10 confidence draws, few pages). One dict get
+# replaces two string-fragment gets, two numeric-fragment gets and an
+# 8-part concat. The value CLASSES ride in the key because Python
+# hashes True == 1 == 1.0 together while json renders them differently
+# (same guard as _num_frag's exact-class check).
+_ROW_PREFIX_CACHE: Dict[tuple, str] = {}
+
+
+def _row_prefix(name: str, value, conf, pg) -> str:
+    return (
+        '{"field_name":'
+        + _str_frag(name)
+        + ',"value":'
+        + ("null" if value is None else _str_frag(value))
+        + ',"confidence":'
+        + ("null" if conf is None else _num_frag(conf))
+        + ',"page":'
+        + ("null" if pg is None else _num_frag(pg))
+        + ',"bounding_box":'
+    )
+
 
 def _num_frag(v) -> str:
     cls = v.__class__
@@ -235,28 +259,23 @@ def _fields_json(extraction: Optional[Dict[str, Any]]) -> str:
                 )
                 if len(_VAL_FRAG_CACHE) < _FRAG_CACHE_MAX:
                     _VAL_FRAG_CACHE[id(validation)] = (validation, tail)
-        parts.append(
-            '{"field_name":'
-            + _str_frag(name)
-            + ',"value":'
-            + ("null" if value is None else _str_frag(value))
-            + ',"confidence":'
-            + (
-                "null"
-                if (conf := data.get("confidence")) is None
-                else _num_frag(conf)
-            )
-            + ',"page":'
-            + (
-                "null"
-                if (pg := data.get("page")) is None
-                else _num_frag(pg)
-            )
-            + ',"bounding_box":'
-            + box_frag
-            + ","
-            + tail
+        conf = data.get("confidence")
+        pg = data.get("page")
+        pkey = (
+            name, value,
+            conf.__class__, conf,
+            pg.__class__, pg,
         )
+        try:
+            prefix = _ROW_PREFIX_CACHE.get(pkey)
+        except TypeError:  # unhashable (never for well-formed rows)
+            prefix = None
+            pkey = None
+        if prefix is None:
+            prefix = _row_prefix(name, value, conf, pg)
+            if pkey is not None and len(_ROW_PREFIX_CACHE) < _FRAG_CACHE_MAX:
+                _ROW_PREFIX_CACHE[pkey] = prefix
+        parts.append(prefix + box_frag + "," + tail)
     return "[" + ",".join(parts) + "]"
 
 
