@@ -302,6 +302,57 @@ _TAG_ACTION_CACHE_MAX = 8192
 _WORD_TOKEN_CACHE: Dict[tuple, tuple] = {}
 _WORD_TOKEN_CACHE_MAX = 65536
 
+# Chrome-fragment effect cache. A top-level chrome subtree (nav /
+# header / footer / aside from chrome_depth 0 back to 0) repeats
+# byte-identically across a site's pages, and its NET effect on the
+# tokenizer state is tiny: some text runs appended to the entry block
+# (header link text), N pristine chrome _Blocks appended (nav/aside
+# list items — their text is dropped by the chrome short-circuit), and
+# an exit `current` that is None, the entry block, or one of the fresh
+# blocks. Recording is diff-based (state snapshot at the opening tag,
+# validated diff at the matching close) and replay applies the
+# aggregate, skipping the per-event scan of the whole subtree.
+#
+# SOUNDNESS. Inside a fragment the event stream is a pure function of
+# the fragment bytes, and every state transition is independent of the
+# surrounding document EXCEPT through: (a) the entry `current` block —
+# text appends read only its is_chrome flag and K_CELL reads its
+# is_row/last-cell state; (b) the entry depths. Therefore a fragment
+# is cached/replayed only when ALL of:
+#   * entry chrome/opaque/link depth == 0 (and hence capture_layout
+#     False), exit link/opaque depth == 0 — checked at record;
+#   * the entry kind matches exactly: None, or (is_chrome, is_row) of
+#     the entry block (text/K_CELL branching depends on nothing else);
+#   * no K_CELL event fired while `current` was the entry block (the
+#     only reader of entry cell state — invalidation hook);
+#   * the layout capture buffer did not grow (no layout-words script);
+#   * every block appended during the fragment is a pristine chrome
+#     block (no text, single empty cell — a <br> inside one would leave
+#     a " " and invalidates);
+#   * the entry block gained no new cells, only tail-cell text appends
+#     (replayed as extend + char-count deltas, byte-identical to the
+#     add_text sequence).
+# A fragment always ends at the FIRST return of chrome_depth to 0, so
+# for a given start position at most one cached fragment can match
+# (balanced prefixes are unique); replay matches it with one C-level
+# startswith. Constructs outside the fast scanner's proven subset abort
+# the whole parse before finalize, so they can never be cached.
+#
+# Buckets are keyed on the first _CHROME_FRAG_KEY_LEN bytes from the
+# opening '<' (not just the opening tag): site-templated chrome differs
+# a few bytes in (e.g. the site name in a header), so a fixed-length
+# prefix key keeps each bucket at ~1 entry where an opener key would
+# pile every variant into one linearly-scanned list. The key is only an
+# index — replay still verifies the FULL fragment bytes with
+# startswith, so fragments shorter than the key (whose bucket then
+# depends on trailing context) are merely re-recorded per context,
+# never misreplayed.
+_CHROME_FRAG_CACHE: Dict[str, list] = {}
+_CHROME_FRAG_KEY_LEN = 96
+_CHROME_FRAG_BUCKET_MAX = 4
+_CHROME_FRAG_CACHE_MAX = 1024
+_CHROME_FRAG_LEN_MAX = 8192
+
 # Whole-line token cache for the words-elided fused path:
 # (text, line_idx, page, row, cell) fully determines the emitted line
 # token — y/x0/x1 are affine in (row, cell, len(text)) and the
@@ -344,6 +395,13 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     capture_layout = handler._capture_layout
     current = handler._current
     tag_kind = _TAG_KIND
+    # chrome-fragment recording state (see _CHROME_FRAG_CACHE): active
+    # iff rec_start >= 0; discarded wholesale on fallback/end-of-input
+    rec_start = -1
+    rec_entry = rec_opener = None
+    rec_valid = False
+    rec_blocks_len = rec_layout_len = 0
+    rec_cells_len = rec_last_len = rec_text_chars = rec_link_chars = 0
     while i < n:
         j = find("<", i)
         if j < 0:
@@ -428,6 +486,74 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                         link_depth = link_depth - 1 if link_depth > 0 else 0
                     elif kind == _K_CHROME:
                         chrome_depth = chrome_depth - 1 if chrome_depth > 0 else 0
+                        if chrome_depth == 0 and rec_start >= 0:
+                            # finalize the chrome-fragment recording
+                            # (validation list in the cache's comment)
+                            ok = (
+                                rec_valid
+                                and link_depth == 0
+                                and opaque_depth == 0
+                                and i - rec_start <= _CHROME_FRAG_LEN_MAX
+                                and len(layout_json) == rec_layout_len
+                            )
+                            if ok:
+                                fresh = blocks[rec_blocks_len:]
+                                ok = all(
+                                    b.is_chrome
+                                    and b.text_chars == 0
+                                    and b.link_chars == 0
+                                    and len(b.cells) == 1
+                                    and not b.cells[0]
+                                    for b in fresh
+                                )
+                            if ok:
+                                entry = rec_entry
+                                if entry is None:
+                                    ekind = None
+                                    texts = ()
+                                    tlen = llen = 0
+                                else:
+                                    ekind = (entry.is_chrome, entry.is_row)
+                                    if len(entry.cells) == rec_cells_len:
+                                        texts = tuple(
+                                            entry.cells[-1][rec_last_len:]
+                                        )
+                                        tlen = entry.text_chars - rec_text_chars
+                                        llen = entry.link_chars - rec_link_chars
+                                        ok = tlen == sum(map(len, texts))
+                                    else:
+                                        ok = False
+                            if ok:
+                                if current is None:
+                                    ec, eidx = 0, -1
+                                elif current is entry:
+                                    ec, eidx = 1, -1
+                                else:
+                                    ec, eidx = 2, -1
+                                    for bi, b in enumerate(fresh):
+                                        if b is current:
+                                            eidx = bi
+                                            break
+                                    ok = eidx >= 0
+                            if ok:
+                                bucket = _CHROME_FRAG_CACHE.get(rec_opener)
+                                if bucket is None and (
+                                    len(_CHROME_FRAG_CACHE)
+                                    < _CHROME_FRAG_CACHE_MAX
+                                ):
+                                    bucket = _CHROME_FRAG_CACHE[rec_opener] = []
+                                if (
+                                    bucket is not None
+                                    and len(bucket) < _CHROME_FRAG_BUCKET_MAX
+                                ):
+                                    bucket.append((
+                                        s[rec_start:i], ekind, texts, tlen,
+                                        llen,
+                                        tuple(b.is_row for b in fresh),
+                                        ec, eidx,
+                                    ))
+                            rec_start = -1
+                            rec_entry = rec_opener = None
                 elif tag_l == "body":
                     current = None
             continue
@@ -454,6 +580,7 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
         # (see _TAG_ACTION_CACHE) — one find + one dict get replaces the
         # tagname/body/attr regex machinery for the overwhelmingly
         # common repeated tag spellings.
+        pos0 = i
         gt = find(">", i + 1)
         act = _TAG_ACTION_CACHE.get(s[i : gt + 1]) if gt > 0 else None
         if act is not None:
@@ -515,6 +642,52 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             if end == gt and len(_TAG_ACTION_CACHE) < _TAG_ACTION_CACHE_MAX:
                 _TAG_ACTION_CACHE[s[i : end + 1]] = (startend, tag, attrs, kind)
             i = end + 1
+        # Chrome-fragment replay / record (see _CHROME_FRAG_CACHE): only
+        # at a top-level chrome start tag with all depths zero.
+        if (
+            kind == _K_CHROME
+            and not startend
+            and chrome_depth == 0
+            and opaque_depth == 0
+            and link_depth == 0
+        ):
+            opener = s[pos0 : pos0 + _CHROME_FRAG_KEY_LEN]
+            bucket = _CHROME_FRAG_CACHE.get(opener)
+            if bucket is not None:
+                cur = current
+                ck = None if cur is None else (cur.is_chrome, cur.is_row)
+                hit = False
+                for ent in bucket:
+                    frag, ekind, texts, tlen, llen, rows, ec, eidx = ent
+                    if ekind == ck and s.startswith(frag, pos0):
+                        if texts:
+                            cur.cells[-1].extend(texts)
+                            cur.text_chars += tlen
+                            cur.link_chars += llen
+                        base = len(blocks)
+                        for r in rows:
+                            blocks.append(_Block(True, r))
+                        if ec == 0:
+                            current = None
+                        elif ec == 2:
+                            current = blocks[base + eidx]
+                        i = pos0 + len(frag)
+                        hit = True
+                        break
+                if hit:
+                    continue
+            # no cached variant matched — record this fragment
+            rec_start = pos0
+            rec_opener = opener
+            rec_entry = current
+            rec_valid = True
+            rec_blocks_len = len(blocks)
+            rec_layout_len = len(layout_json)
+            if current is not None:
+                rec_cells_len = len(current.cells)
+                rec_last_len = len(current.cells[-1])
+                rec_text_chars = current.text_chars
+                rec_link_chars = current.link_chars
         # inline handle_starttag (shared by the cached and parsed routes)
         if kind is not None:
             if kind == _K_BLOCK:
@@ -524,6 +697,10 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                 current = _Block(chrome_depth > 0, True)
                 blocks.append(current)
             elif kind == _K_CELL:
+                if rec_start >= 0 and current is rec_entry and rec_entry is not None:
+                    # the only event whose behavior reads the entry
+                    # block's cell state — not replayable as a diff
+                    rec_valid = False
                 if current is None or not current.is_row:
                     current = _Block(chrome_depth > 0, True)
                     blocks.append(current)

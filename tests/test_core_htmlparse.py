@@ -273,3 +273,142 @@ def test_fast_scan_fuzz_raw_character_soup() -> None:
             assert _sig(fast) == _sig(std), repr(s)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Chrome-fragment effect cache (_CHROME_FRAG_CACHE): record-then-replay
+# equivalence. Every test parses each document TWICE from a cleared
+# cache — the first parse records the fragment, the second replays it —
+# and asserts byte-level state equality against the stdlib-driven
+# handler on BOTH passes (a replay divergence shows up on pass 2).
+# ---------------------------------------------------------------------------
+
+
+def _frag_check(docs: list[str]) -> None:
+    H._CHROME_FRAG_CACHE.clear()
+    for _pass in (1, 2):
+        for s in docs:
+            ok, fast, std = _both(s)
+            if ok:
+                assert _sig(fast) == _sig(std), (_pass, s)
+
+
+def test_chrome_frag_replay_across_entry_kinds() -> None:
+    # same fragment bytes hit with entry = content block, None, and a
+    # row block — the cache must key the entry kind, not just the bytes
+    frag = "<header><a href='/'>L1</a> <a href='/x'>L2</a></header>"
+    _frag_check(
+        [
+            "<p>pre</p>text " + frag + "tail",  # entry: content (p closed -> None? text opens anon)
+            frag + "tail",                       # entry: None
+            "<table><tr><td>c</td>" + frag + "after",  # entry: row block
+            "own text " + frag + frag + "end",   # replay twice in one doc
+        ]
+    )
+
+
+def test_chrome_frag_exit_current_is_fresh_block() -> None:
+    # chrome closes while an inner block is still open: exit current is
+    # one of the fresh chrome blocks; following text must land in it
+    # (and be dropped) exactly as the stdlib does
+    _frag_check(
+        [
+            "<aside><ul><li>a</aside> swallowed text",
+            "<p>x</p><aside><ul><li>a</aside> swallowed again",
+        ]
+    )
+
+
+def test_chrome_frag_td_inside_chrome_entry_cell_state() -> None:
+    # K_CELL reads the ENTRY block's row/cell state — fragments where a
+    # td fires while current is the entry block must never be replayed
+    # (behavior depends on cell emptiness, which differs between docs)
+    frag = "<nav>x<td>y</td></nav>"
+    _frag_check(
+        [
+            "<table><tr><td>a</td>" + frag + "z",  # entry row, cell nonempty
+            "<table><tr>" + frag + "z",            # entry row, cell empty
+            "<p>b" + frag + "z",                    # entry non-row content
+            frag + "z",                             # entry None
+        ]
+    )
+
+
+def test_chrome_frag_br_and_opaque_not_cached_wrong() -> None:
+    _frag_check(
+        [
+            # br inside chrome: entry gets a " " (diff-replayable) and a
+            # fresh chrome block gets one (invalidates caching)
+            "<p>t<nav><br></nav>u",
+            "<p>t<nav><ul><li><br></li></ul></nav>u",
+            # opaque content inside chrome (script/style cdata)
+            "<p>t<footer><script>var x = '</nav>';</script></footer>u",
+        ]
+    )
+
+
+def test_chrome_frag_layout_script_inside_chrome() -> None:
+    # a layout-words script inside chrome grows the capture buffer —
+    # the fragment must not be cached, and the payload must be captured
+    # on every parse
+    payload = (
+        '[{"t":"A","p":1,"x":0.5,"y":1.0,"w":0.2,"h":0.01,"c":0.97}]'
+    )
+    doc = (
+        "<body><nav><script type=\"application/x-layout-words\">"
+        + payload
+        + "</script></nav><p>x</p>"
+    )
+    H._CHROME_FRAG_CACHE.clear()
+    for _pass in (1, 2):
+        ok, fast, std = _both(doc)
+        assert ok
+        assert _sig(fast) == _sig(std)
+        assert "".join(fast.layout_words_json) == payload
+
+
+def test_chrome_frag_unbalanced_link_depth() -> None:
+    # link opened inside chrome and never closed: exit link_depth != 0,
+    # fragment not cacheable; the leaked link state must still apply to
+    # the text after the fragment on every parse
+    _frag_check(
+        [
+            "<p>t<nav><a href='/q'>l</nav>leaked link text</a>done",
+            "<p>s<nav><a href='/q'>l</nav>leaked again</a>done",
+        ]
+    )
+
+
+def test_chrome_frag_short_fragment_in_different_contexts() -> None:
+    # fragment shorter than the prefix key: bucket key includes trailing
+    # context bytes; must re-record per context, never misreplay
+    _frag_check(
+        [
+            "<p>a<nav></nav>first tail here with enough bytes",
+            "<p>a<nav></nav>second completely different tail text",
+            "<nav></nav>",
+        ]
+    )
+
+
+def test_chrome_frag_nested_and_sibling_chrome() -> None:
+    _frag_check(
+        [
+            "<p>t<header><nav><ul><li>x</li></ul></nav></header>after",
+            "<p>t<nav>a</nav><aside>b</aside>after",
+            "<p>t<nav><nav>inner</nav>outer</nav>after",
+        ]
+    )
+
+
+def test_chrome_frag_cache_fires_on_generated_corpus() -> None:
+    # the production corpus shares nav/aside/footer chrome verbatim —
+    # after one page, later pages replay those fragments; equality with
+    # the stdlib handler must hold throughout
+    H._CHROME_FRAG_CACHE.clear()
+    for k in range(60):
+        html = build_page(k)["html"].decode("utf-8")
+        ok, fast, std = _both(html)
+        assert ok
+        assert _sig(fast) == _sig(std), f"page {k}"
+    assert len(H._CHROME_FRAG_CACHE) > 0  # the cache actually engaged
