@@ -353,6 +353,54 @@ _CHROME_FRAG_BUCKET_MAX = 4
 _CHROME_FRAG_CACHE_MAX = 1024
 _CHROME_FRAG_LEN_MAX = 8192
 
+# Row-fragment effect cache — the chrome replay generalized to template
+# TABLE ROWS, the other subtree crawl templates repeat verbatim (the
+# same label/value rows appear across a site's form pages). A `<tr>` at
+# depth 0 is ENTRY-INDEPENDENT: its first event replaces `current`
+# before anything reads it, and until the first `current = None`
+# transition (a block/row end tag — the fragment's end) every event
+# reads only fragment-internal state, so the net effect is exactly
+# "append N blocks with recorded content". Recording is again
+# diff-based: snapshot at the tr, finalize at the first current=None
+# transition, validated by zero net chrome/link/opaque depth and an
+# unchanged layout buffer; the replayed blocks are rebuilt with fresh
+# cell lists from the recorded content (blocks are mutable, so unlike
+# tokens they are not shared). Only `tr` triggers — block tags like
+# <p>/<div> head corpus-unique prose and would flood the cache with
+# one-off entries. A chrome replay inside a row recording invalidates
+# it (its exit-current shortcut would skip the recording's end hook).
+_ROW_FRAG_CACHE: Dict[str, list] = {}
+_ROW_FRAG_BUCKET_MAX = 4
+_ROW_FRAG_CACHE_MAX = 8192
+_ROW_FRAG_LEN_MAX = 8192
+
+
+def _store_row_frag(
+    s: str,
+    start: int,
+    end_pos: int,
+    key: str,
+    blocks: list,
+    blocks_len: int,
+) -> None:
+    """Record the finished row fragment s[start:end_pos]: its effect is
+    the appended blocks' end state (validation done by the caller)."""
+    spec = tuple(
+        (
+            b.is_chrome,
+            b.is_row,
+            tuple(tuple(c) for c in b.cells),
+            b.text_chars,
+            b.link_chars,
+        )
+        for b in blocks[blocks_len:]
+    )
+    bucket = _ROW_FRAG_CACHE.get(key)
+    if bucket is None and len(_ROW_FRAG_CACHE) < _ROW_FRAG_CACHE_MAX:
+        bucket = _ROW_FRAG_CACHE[key] = []
+    if bucket is not None and len(bucket) < _ROW_FRAG_BUCKET_MAX:
+        bucket.append((s[start:end_pos], spec))
+
 # Whole-line token cache for the words-elided fused path:
 # (text, line_idx, page, row, cell) fully determines the emitted line
 # token — y/x0/x1 are affine in (row, cell, len(text)) and the
@@ -402,6 +450,13 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     rec_valid = False
     rec_blocks_len = rec_layout_len = 0
     rec_cells_len = rec_last_len = rec_text_chars = rec_link_chars = 0
+    # row-fragment recording state (see _ROW_FRAG_CACHE); independent of
+    # the chrome recorder — a chrome subtree may record inside a row
+    # recording (its effects land in the row's end-state diff)
+    rrec_start = -1
+    rrec_key = None
+    rrec_valid = False
+    rrec_blocks_len = rrec_layout_len = 0
     while i < n:
         j = find("<", i)
         if j < 0:
@@ -479,6 +534,24 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                 if kind is not None:
                     if kind == _K_BLOCK or kind == _K_ROW:
                         current = None
+                        if rrec_start >= 0:
+                            # first current=None transition ends the
+                            # row recording (validation list in the
+                            # _ROW_FRAG_CACHE comment)
+                            if (
+                                rrec_valid
+                                and chrome_depth == 0
+                                and link_depth == 0
+                                and opaque_depth == 0
+                                and i - rrec_start <= _ROW_FRAG_LEN_MAX
+                                and len(layout_json) == rrec_layout_len
+                            ):
+                                _store_row_frag(
+                                    s, rrec_start, i, rrec_key,
+                                    blocks, rrec_blocks_len,
+                                )
+                            rrec_start = -1
+                            rrec_key = None
                     elif kind == _K_OPAQUE:
                         opaque_depth = opaque_depth - 1 if opaque_depth > 0 else 0
                         capture_layout = False
@@ -556,6 +629,21 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                             rec_entry = rec_opener = None
                 elif tag_l == "body":
                     current = None
+                    if rrec_start >= 0:
+                        if (
+                            rrec_valid
+                            and chrome_depth == 0
+                            and link_depth == 0
+                            and opaque_depth == 0
+                            and i - rrec_start <= _ROW_FRAG_LEN_MAX
+                            and len(layout_json) == rrec_layout_len
+                        ):
+                            _store_row_frag(
+                                s, rrec_start, i, rrec_key,
+                                blocks, rrec_blocks_len,
+                            )
+                        rrec_start = -1
+                        rrec_key = None
             continue
         if nxt == "!":
             if s.startswith("<!--", i):
@@ -660,6 +748,11 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                 for ent in bucket:
                     frag, ekind, texts, tlen, llen, rows, ec, eidx = ent
                     if ekind == ck and s.startswith(frag, pos0):
+                        if rrec_start >= 0:
+                            # a chrome replay's exit-current shortcut
+                            # bypasses the row recorder's end hook —
+                            # discard the active row recording
+                            rrec_valid = False
                         if texts:
                             cur.cells[-1].extend(texts)
                             cur.text_chars += tlen
@@ -688,6 +781,41 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                 rec_last_len = len(current.cells[-1])
                 rec_text_chars = current.text_chars
                 rec_link_chars = current.link_chars
+        # Row-fragment replay / record (see _ROW_FRAG_CACHE): a depth-0
+        # <tr> is entry-independent — replay appends the recorded
+        # blocks; a miss starts a recording that the first
+        # current=None transition finalizes.
+        elif (
+            kind == _K_ROW
+            and not startend
+            and chrome_depth == 0
+            and opaque_depth == 0
+            and link_depth == 0
+            and rrec_start < 0
+        ):
+            rkey = s[pos0 : pos0 + _CHROME_FRAG_KEY_LEN]
+            rbucket = _ROW_FRAG_CACHE.get(rkey)
+            hit = False
+            if rbucket is not None:
+                for frag, spec in rbucket:
+                    if s.startswith(frag, pos0):
+                        for bc, brow, cells, tc, lc in spec:
+                            b = _Block(bc, brow)
+                            b.cells = [list(c) for c in cells]
+                            b.text_chars = tc
+                            b.link_chars = lc
+                            blocks.append(b)
+                        current = None
+                        i = pos0 + len(frag)
+                        hit = True
+                        break
+            if hit:
+                continue
+            rrec_start = pos0
+            rrec_key = rkey
+            rrec_valid = True
+            rrec_blocks_len = len(blocks)
+            rrec_layout_len = len(layout_json)
         # inline handle_starttag (shared by the cached and parsed routes)
         if kind is not None:
             if kind == _K_BLOCK:
@@ -723,6 +851,21 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             if kind is not None:
                 if kind == _K_BLOCK or kind == _K_ROW:
                     current = None
+                    if rrec_start >= 0:
+                        if (
+                            rrec_valid
+                            and chrome_depth == 0
+                            and link_depth == 0
+                            and opaque_depth == 0
+                            and i - rrec_start <= _ROW_FRAG_LEN_MAX
+                            and len(layout_json) == rrec_layout_len
+                        ):
+                            _store_row_frag(
+                                s, rrec_start, i, rrec_key,
+                                blocks, rrec_blocks_len,
+                            )
+                        rrec_start = -1
+                        rrec_key = None
                 elif kind == _K_OPAQUE:
                     opaque_depth = opaque_depth - 1 if opaque_depth > 0 else 0
                     capture_layout = False
@@ -732,6 +875,21 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
                     chrome_depth = chrome_depth - 1 if chrome_depth > 0 else 0
             elif tag == "body":
                 current = None
+                if rrec_start >= 0:
+                    if (
+                        rrec_valid
+                        and chrome_depth == 0
+                        and link_depth == 0
+                        and opaque_depth == 0
+                        and i - rrec_start <= _ROW_FRAG_LEN_MAX
+                        and len(layout_json) == rrec_layout_len
+                    ):
+                        _store_row_frag(
+                            s, rrec_start, i, rrec_key,
+                            blocks, rrec_blocks_len,
+                        )
+                    rrec_start = -1
+                    rrec_key = None
         elif tag in _CDATA_CONTENT:
             m2 = _CDATA_END[tag].search(s, i)
             if not m2:

@@ -412,3 +412,95 @@ def test_chrome_frag_cache_fires_on_generated_corpus() -> None:
         assert ok
         assert _sig(fast) == _sig(std), f"page {k}"
     assert len(H._CHROME_FRAG_CACHE) > 0  # the cache actually engaged
+
+
+# ---------------------------------------------------------------------------
+# Row-fragment effect cache (_ROW_FRAG_CACHE): same record-then-replay
+# discipline as the chrome tests — each document parsed twice from a
+# cleared cache, stdlib equality asserted on both passes.
+# ---------------------------------------------------------------------------
+
+
+def _row_frag_check(docs: list[str]) -> None:
+    H._ROW_FRAG_CACHE.clear()
+    H._CHROME_FRAG_CACHE.clear()
+    for _pass in (1, 2, 3):
+        for s in docs:
+            ok, fast, std = _both(s)
+            if ok:
+                assert _sig(fast) == _sig(std), (_pass, s)
+
+
+def test_row_frag_replay_basic_and_contexts() -> None:
+    row = "<tr><td>Label A</td><td>Value B</td></tr>"
+    _row_frag_check(
+        [
+            "<table>" + row + row + "</table>tail",
+            "<p>pre</p><table>" + row + "</table>",
+            row,                       # bare row, fragment to EOF endtag
+            row + "different tail context with plenty of bytes",
+            "<tr/>self closing row",
+        ]
+    )
+
+
+def test_row_frag_implicit_close_and_nested_blocks() -> None:
+    _row_frag_check(
+        [
+            # unclosed tr: next tr does NOT end the fragment (no
+            # current=None transition) — one fragment spans both rows
+            "<table><tr><td>a<tr><td>b</tr></table>",
+            # nested block: fragment ends at the FIRST close (</div>);
+            # the rest of the row parses normally
+            "<tr><td><div>x</div>y</td></tr>after",
+            "<tr><td><div>x</div>z</td></tr>after",
+        ]
+    )
+
+
+def test_row_frag_link_and_chrome_inside() -> None:
+    _row_frag_check(
+        [
+            # balanced link inside: cacheable, link accounting recorded
+            "<tr><td><a href='/x'>k</a>v</td></tr>t",
+            # unbalanced link: exit link_depth != 0 -> never cached; the
+            # leaked link state must still affect following text
+            "<tr><td><a href='/x'>k</tr>leaked</a>t",
+            # chrome inside a row: chrome records inside the row
+            # recording; on later passes the chrome REPLAY fires inside
+            # the row recording and invalidates it — equality must hold
+            # on every pass either way
+            "<tr><td><nav><ul><li>c</li></ul></nav>v</td></tr>t",
+            # row inside an open link: no replay/record (link_depth > 0)
+            "<a href='/y'><tr><td>k</td><td>v</td></tr></a>t",
+        ]
+    )
+
+
+def test_row_frag_layout_script_and_br() -> None:
+    payload = '[{"t":"A","p":1,"x":0.5,"y":1.0,"w":0.2,"h":0.01,"c":0.97}]'
+    doc = (
+        "<tr><td><script type=\"application/x-layout-words\">"
+        + payload
+        + "</script></td></tr><p>x</p>"
+    )
+    H._ROW_FRAG_CACHE.clear()
+    for _pass in (1, 2):
+        ok, fast, std = _both(doc)
+        assert ok
+        assert _sig(fast) == _sig(std)
+        assert "".join(fast.layout_words_json) == payload
+    # br inside a row: the " " lands in the recorded cell content and
+    # must replay byte-identically
+    _row_frag_check(["<tr><td>a<br>b</td></tr>t", "<tr><td>a<br>b</td></tr>u"])
+
+
+def test_row_frag_generated_corpus_engages() -> None:
+    H._ROW_FRAG_CACHE.clear()
+    H._CHROME_FRAG_CACHE.clear()
+    for k in range(60):
+        html = build_page(k)["html"].decode("utf-8")
+        ok, fast, std = _both(html)
+        assert ok
+        assert _sig(fast) == _sig(std), f"page {k}"
+    assert len(H._ROW_FRAG_CACHE) > 0
