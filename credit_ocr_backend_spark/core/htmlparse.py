@@ -363,9 +363,9 @@ _CHROME_FRAG_LEN_MAX = 8192
 # "append N blocks with recorded content". Recording is again
 # diff-based: snapshot at the tr, finalize at the first current=None
 # transition, validated by zero net chrome/link/opaque depth and an
-# unchanged layout buffer; the replayed blocks are rebuilt with fresh
-# cell lists from the recorded content (blocks are mutable, so unlike
-# tokens they are not shared). Only `tr` triggers — block tags like
+# unchanged layout buffer; replay appends the RECORDED block objects
+# themselves (see _store_row_frag for why they are immutable from
+# finalize on). Only `tr` triggers — block tags like
 # <p>/<div> head corpus-unique prose and would flood the cache with
 # one-off entries. A chrome replay inside a row recording invalidates
 # it (its exit-current shortcut would skip the recording's end hook).
@@ -384,22 +384,20 @@ def _store_row_frag(
     blocks_len: int,
 ) -> None:
     """Record the finished row fragment s[start:end_pos]: its effect is
-    the appended blocks' end state (validation done by the caller)."""
-    spec = tuple(
-        (
-            b.is_chrome,
-            b.is_row,
-            tuple(tuple(c) for c in b.cells),
-            b.text_chars,
-            b.link_chars,
-        )
-        for b in blocks[blocks_len:]
-    )
+    the appended blocks' end state (validation done by the caller).
+
+    The LIVE block objects are stored and later replays append the SAME
+    objects: a block is only ever mutated while it is `current`, the
+    scanner never points `current` at a pre-existing block (only fresh
+    blocks or None), and the finalize event has already reset current —
+    so a recorded block is immutable from here on, in this document and
+    in every replaying one (the same sharing contract as the token
+    caches, with the layout engine as the sole, read-only consumer)."""
     bucket = _ROW_FRAG_CACHE.get(key)
     if bucket is None and len(_ROW_FRAG_CACHE) < _ROW_FRAG_CACHE_MAX:
         bucket = _ROW_FRAG_CACHE[key] = []
     if bucket is not None and len(bucket) < _ROW_FRAG_BUCKET_MAX:
-        bucket.append((s[start:end_pos], spec))
+        bucket.append((s[start:end_pos], tuple(blocks[blocks_len:])))
 
 # Whole-line token cache for the words-elided fused path:
 # (text, line_idx, page, row, cell) fully determines the emitted line
@@ -797,14 +795,9 @@ def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
             rbucket = _ROW_FRAG_CACHE.get(rkey)
             hit = False
             if rbucket is not None:
-                for frag, spec in rbucket:
+                for frag, shared_blocks in rbucket:
                     if s.startswith(frag, pos0):
-                        for bc, brow, cells, tc, lc in spec:
-                            b = _Block(bc, brow)
-                            b.cells = [list(c) for c in cells]
-                            b.text_chars = tc
-                            b.link_chars = lc
-                            blocks.append(b)
+                        blocks.extend(shared_blocks)
                         current = None
                         i = pos0 + len(frag)
                         hit = True
