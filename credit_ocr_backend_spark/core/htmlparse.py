@@ -411,6 +411,19 @@ def _store_row_frag(
 _LINE_TOKEN_CACHE: Dict[tuple, Token] = {}
 _LINE_TOKEN_CACHE_MAX = 65536
 
+# Block-level emission memo for the words-elided path: row-fragment
+# replay shares _Block objects across documents, so for a ROW block
+# the entire layout step — link-density/chrome checks, rendered_cells,
+# next_row and the per-cell emits — is a pure function of
+# (block identity, page, row, line_idx) and replays as one tuple
+# extend. Entries pin the block (identity check on hit, so a recycled
+# id can never alias) and store the emitted tokens (shared read-only,
+# the same contract as the line-token cache). The prose branch of a
+# row block (single rendered cell) can span pages and is never
+# recorded — it simply always takes the normal path.
+_ROW_EMIT_CACHE: Dict[tuple, tuple] = {}
+_ROW_EMIT_CACHE_MAX = 65536
+
 
 def _fast_feed(handler: "_PageTokenizer", s: str) -> bool:
     """Emit the html.parser(convert_charrefs=True) event stream for ``s``
@@ -1135,7 +1148,53 @@ def _layout_html_blocks(
             page += 1
             row = 0
 
+    emit_cache = _ROW_EMIT_CACHE
+    elide = not include_words
     for block in blocks:
+        if elide and block.is_row:
+            # block-level replay (see _ROW_EMIT_CACHE)
+            mkey = (id(block), page, row, line_idx)
+            ent = emit_cache.get(mkey)
+            if ent is not None and ent[0] is block:
+                toks = ent[2]
+                if toks:
+                    pg_emit = ent[1]
+                    plines = lines_by_page.get(pg_emit)
+                    if plines is None:
+                        plines = lines_by_page[pg_emit] = []
+                    plines.extend(toks)
+                page, row, line_idx = ent[3], ent[4], ent[5]
+                continue
+            if block.is_chrome or block.link_density > MAX_LINK_DENSITY:
+                if len(emit_cache) < _ROW_EMIT_CACHE_MAX:
+                    emit_cache[mkey] = (block, 0, (), page, row, line_idx)
+                continue
+            cells = block.rendered_cells()
+            if not cells:
+                if len(emit_cache) < _ROW_EMIT_CACHE_MAX:
+                    emit_cache[mkey] = (block, 0, (), page, row, line_idx)
+                continue
+            if len(cells) >= 2:
+                next_row()  # keep a label/value row on one page
+                pg_emit = page
+                plines0 = lines_by_page.get(pg_emit)
+                n0 = len(plines0) if plines0 is not None else 0
+                for c, cell_text in enumerate(cells):
+                    emit_line(cell_text, c)
+                row += 1
+                if len(emit_cache) < _ROW_EMIT_CACHE_MAX:
+                    emit_cache[mkey] = (
+                        block, pg_emit,
+                        tuple(lines_by_page[pg_emit][n0:]),
+                        page, row, line_idx,
+                    )
+            else:
+                for cell_text in cells:
+                    for wrapped in _wrap(cell_text):
+                        next_row()
+                        emit_line(wrapped, 0)
+                        row += 1
+            continue
         if block.is_chrome or block.link_density > MAX_LINK_DENSITY:
             continue
         cells = block.rendered_cells()

@@ -504,3 +504,28 @@ def test_row_frag_generated_corpus_engages() -> None:
         assert ok
         assert _sig(fast) == _sig(std), f"page {k}"
     assert len(H._ROW_FRAG_CACHE) > 0
+
+
+def test_row_emit_memo_replay_is_byte_identical() -> None:
+    # block-level emission memo (_ROW_EMIT_CACHE): the same document
+    # parsed from cold caches and again with every cache warm must
+    # produce byte-identical token streams and text — including docs
+    # whose form rows sit at shifted (page, row, line_idx) geometry
+    # (different paragraph counts / dropped rows shift everything)
+    from credit_ocr_backend_spark.core.document import dumps_compact
+
+    H._ROW_EMIT_CACHE.clear()
+    H._ROW_FRAG_CACHE.clear()
+    H._CHROME_FRAG_CACHE.clear()
+    H._LINE_TOKEN_CACHE.clear()
+    docs = [build_page(k)["html"] for k in (0, 1, 2, 5, 9, 17, 24, 38)]
+    cold = [H.parse_page(h, include_words=False) for h in docs]
+    warm = [H.parse_page(h, include_words=False) for h in docs]
+    for (t1, x1), (t2, x2) in zip(cold, warm):
+        assert dumps_compact(t1) == dumps_compact(t2)
+        assert x1 == x2
+    assert len(H._ROW_EMIT_CACHE) > 0  # the memo actually engaged
+    # words-materialized path is untouched by the memo
+    w1 = H.parse_page(docs[0], include_words=True)
+    w2 = H.parse_page(docs[0], include_words=True)
+    assert dumps_compact(w1[0]) == dumps_compact(w2[0])
