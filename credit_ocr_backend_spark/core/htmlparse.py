@@ -1381,8 +1381,16 @@ def parse_page(
         except json.JSONDecodeError:
             payload = []
         tokens = tokens_from_layout_words(payload)
+        extracted_text = "\n".join(
+            t["text"] for t in tokens if t["type"] == "line"
+        )
     else:
         tokens = _layout_html_blocks(parser.blocks, include_words)
-
-    extracted_text = "\n".join(t["text"] for t in tokens if t["type"] == "line")
+        if include_words:
+            extracted_text = "\n".join(
+                t["text"] for t in tokens if t["type"] == "line"
+            )
+        else:
+            # words elided — every token is a line by construction
+            extracted_text = "\n".join([t["text"] for t in tokens])
     return tokens, extracted_text
